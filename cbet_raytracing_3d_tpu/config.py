@@ -1,0 +1,180 @@
+"""Runtime configuration for the TPU CBET ray tracer.
+
+Everything the reference fixes at compile time through the preprocessor
+(``/root/reference/def.cuh:25-131``) is a runtime field here, with identical
+derived-quantity formulas.  A frozen dataclass keeps configs hashable so they
+can be closed over by ``jax.jit``-compiled functions.
+
+Two behavioral modes:
+
+* ``parity="clean"`` (default): all ``nrays`` rays per beam are traced.
+* ``parity="reference"``: reproduces the reference's silent truncation of
+  rays — the CUDA launch grid uses ``threads_per_beam // threads_per_block``
+  blocks, dropping ``nrays % 256`` (=144) rays per beam
+  (``main.cu:161``, ``def.cuh:127-129``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Literal
+
+from . import constants as k
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- grid (def.cuh:33-53) ---
+    nx: int = 100
+    ny: int = 100
+    nz: int = 100
+    xmin: float = -0.13
+    xmax: float = 0.13
+    ymin: float = -0.13
+    ymax: float = 0.13
+    zmin: float = -0.13
+    zmax: float = 0.13
+    nr: int = 443                     # radial profile table length (def.cuh:33)
+
+    # --- beams / rays (def.cuh:55-58, 71-78, 89-92, 119) ---
+    nbeams: int = 60
+    beam_min_x: float = -450.0e-4
+    beam_max_x: float = 450.0e-4
+    rays_per_zone: int = 4
+    sigma: float = 0.0375             # super-Gaussian width of beam power
+    intensity: float = 1.0e14         # beam intensity [W/cm^2]
+    focal_length: float = 0.1
+    offset: float = 0.5e-4            # unused by the reference kernel; kept for parity
+
+    # --- time stepping (def.cuh:80-87) ---
+    courant_mult: float = 0.5
+
+    # --- physics toggles (def.cuh:118; launch_ray_XZ.cu:299-311) ---
+    absorption: bool = True
+    # The reference hard-codes 10.0 in eta instead of Z=3.1
+    # (launch_ray_XZ.cu:299 vs def.cuh:100); override here if desired.
+    eta_z_factor: float = k.ETA_Z_FACTOR
+    # termination threshold: ray stops below this fraction of initial energy
+    # (launch_ray_XZ.cu:351)
+    stop_fraction: float = 0.05
+    # cell-search tolerance "half" (launch_ray_XZ.cu:132, 164)
+    cell_tol: float = 0.5001
+
+    # --- power-profile table (main.cu:102-110) ---
+    pow_table_len: int = 2001
+    pow_table_max: float = 0.1
+
+    # --- CBET stage (def.cuh:94-114; not implemented by the reference) ---
+    cbet_max_iters: int = 30
+    cbet_tol: float = 1e-4
+    cbet_relax: float = 0.5           # under-relaxation of the intensity-field update
+    machnum: float = k.MACH           # flow Mach number (def.cuh:99; machnum undefined there)
+    numstored: int = 5 * 4            # per-cell crossing capacity contract (def.cuh:94)
+    ncrossings_mult: int = 3          # ncrossings = mult*nx (def.cuh:96)
+
+    # --- execution ---
+    parity: Literal["clean", "reference"] = "clean"
+    dtype: Literal["float32", "float64"] = "float32"
+    edep_dtype: Literal["float32", "float64"] = "float64"
+    chunk_steps: int = 25             # scan-chunk length for f32->f64 promotion
+
+    # ===== derived quantities (formulas identical to def.cuh) =====
+    @property
+    def dx(self) -> float:
+        return (self.xmax - self.xmin) / (self.nx - 1)
+
+    @property
+    def dy(self) -> float:
+        return (self.ymax - self.ymin) / (self.ny - 1)
+
+    @property
+    def dz(self) -> float:
+        return (self.zmax - self.zmin) / (self.nz - 1)
+
+    @property
+    def nrays_x(self) -> int:
+        # def.cuh:75
+        return int(self.rays_per_zone * math.ceil((self.beam_max_x - self.beam_min_x) / self.dx))
+
+    @property
+    def nrays_y(self) -> int:
+        # def.cuh:76
+        return int(self.rays_per_zone * math.ceil((self.beam_max_x - self.beam_min_x) / self.dy))
+
+    @property
+    def nrays(self) -> int:
+        return self.nrays_x * self.nrays_y
+
+    @property
+    def zones_spanned(self) -> int:
+        # launch_ray_XZ.cu:69
+        return int(math.ceil((self.beam_max_x - self.beam_min_x) / self.dx))
+
+    @property
+    def dt(self) -> float:
+        # def.cuh:81
+        return self.courant_mult * min(self.dx, self.dz) / k.C_CMS
+
+    @property
+    def nt(self) -> int:
+        # def.cuh:83-87
+        return int((1.0 / self.courant_mult) * max(self.nx, self.nz) * 2.0)
+
+    @property
+    def uray_mult(self) -> float:
+        # def.cuh:92
+        return self.intensity * self.courant_mult / float(self.rays_per_zone ** 2)
+
+    @property
+    def ncrossings(self) -> int:
+        # def.cuh:96
+        return self.ncrossings_mult * self.nx
+
+    @property
+    def traced_rays_per_beam(self) -> int:
+        """Rays actually traced per beam.
+
+        ``parity="reference"`` reproduces the launch-grid truncation: only
+        ``(nrays // 256) * 256`` threads are launched per beam
+        (main.cu:161, def.cuh:127-129).
+        """
+        if self.parity == "reference":
+            return (self.nrays // 256) * 256
+        return self.nrays
+
+    @property
+    def grad_const(self) -> float:
+        # main.cu:156
+        return (k.C_CMS ** 2) / (2.0 * k.NCRIT) * self.dt * 0.5
+
+    @property
+    def dedx_const(self) -> float:
+        return self.grad_const / self.dx
+
+    @property
+    def dedy_const(self) -> float:
+        return self.grad_const / self.dy
+
+    @property
+    def dedz_const(self) -> float:
+        return self.grad_const / self.dz
+
+    @property
+    def edep_shape(self) -> tuple:
+        # node-centered grid with one ghost layer per side (def.cuh:131)
+        return (self.nx + 2, self.ny + 2, self.nz + 2)
+
+    @property
+    def total_rays(self) -> int:
+        return self.nbeams * self.nrays
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def small_test_config(**kw) -> Config:
+    """A shrunken config for fast tests: one beam, few rays, coarse grid."""
+    defaults = dict(nbeams=1, rays_per_zone=1, nx=40, ny=40, nz=40, dtype="float64")
+    defaults.update(kw)
+    return Config(**defaults)

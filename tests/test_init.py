@@ -1,0 +1,86 @@
+"""Ray initialization tests: closed-form launch lattice, permutation,
+rotations, pupil mask, and launch energies vs the literal oracle
+(launch_ray_XZ.cu:65-115)."""
+
+import numpy as np
+
+from cbet_raytracing_3d_tpu.beams import (init_rays, load_beam_norms,
+                                          power_table, ray_permutation)
+from cbet_raytracing_3d_tpu.config import Config
+from cbet_raytracing_3d_tpu.models.raytracer import initial_cell
+from cbet_raytracing_3d_tpu.oracle import oracle_init
+
+
+def test_beam_table_shape_and_unit_norm():
+    bn = load_beam_norms()
+    assert bn.shape == (60, 3)
+    norms = np.linalg.norm(bn, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-7)
+
+
+def test_permutation_is_bijection():
+    cfg = Config()
+    perm = ray_permutation(cfg, np.arange(cfg.nrays))
+    assert sorted(perm.tolist()) == list(range(cfg.nrays))
+
+
+def test_init_matches_oracle():
+    cfg = Config()
+    bn = load_beam_norms()
+    pow_r = power_table(cfg)
+    phase_r = np.linspace(0.0, cfg.pow_table_max, cfg.pow_table_len)
+    rays = init_rays(cfg, bn, pow_r)
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        b = int(rng.integers(0, cfg.nbeams))
+        rr = int(rng.integers(0, cfg.nrays))
+        ok, x, y, z, uray = oracle_init(cfg, b, rr, bn, pow_r, phase_r)
+        assert bool(rays.mask[b, rr]) == ok
+        # closed-form lattice vs the reference's repeated addition: equal to
+        # float64 roundoff (the reference's own commented intent,
+        # launch_ray_XZ.cu:82,91)
+        np.testing.assert_allclose(rays.pos[b, rr], [x, y, z], rtol=0, atol=1e-12)
+        np.testing.assert_allclose(rays.uray[b, rr], uray, rtol=1e-12)
+
+
+def test_pupil_mask_fraction():
+    cfg = Config()
+    rays = init_rays(cfg, load_beam_norms(), power_table(cfg))
+    frac = rays.mask[0].mean()
+    # circle inscribed in the square launch lattice: ~pi/4 acceptance
+    assert 0.70 < frac < 0.82
+
+
+def test_reference_parity_truncation_is_inert():
+    """The reference silently drops thread ids >= 19456 per beam via launch
+    grid truncation (main.cu:161, def.cuh:127-129).  It turns out those 144
+    thread ids all permute to lattice sites *outside* the circular pupil
+    (ref > 450 um), which the kernel would skip anyway — so reference-parity
+    mode and clean mode launch the identical ray set."""
+    cfg = Config(parity="reference")
+    assert cfg.traced_rays_per_beam == 19456
+    rays = init_rays(cfg, load_beam_norms(), power_table(cfg))
+    clean = init_rays(Config(), load_beam_norms(), power_table(Config()))
+    # the truncated ids are pupil-rejected in clean mode too
+    assert not clean.mask[0, cfg.traced_rays_per_beam:].any()
+    assert (rays.mask == clean.mask).all()
+
+
+def test_initial_cell_matches_literal_scan():
+    cfg = Config()
+    rng = np.random.default_rng(3)
+    t = np.concatenate([
+        rng.uniform(-2, cfg.nx + 1, size=(300, 3)),
+        np.round(rng.uniform(0, cfg.nx - 1, size=(50, 3))) + 0.5001,  # knife edges
+        np.round(rng.uniform(0, cfg.nx - 1, size=(50, 3))) - 0.4999,
+    ])
+    got = initial_cell(cfg, t)
+    # literal transcription of launch_ray_XZ.cu:162-183 in grid units
+    for row_t, row_c in zip(t, got):
+        for ax, n in enumerate((cfg.nx, cfg.ny, cfg.nz)):
+            want = 0
+            for xx in range(n):
+                if abs(xx - row_t[ax]) <= 0.5001:
+                    want = xx
+                    break
+            assert row_c[ax] == want

@@ -1,0 +1,71 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest.py):
+shard_map ray sharding + psum grid reduction must reproduce the
+single-device result (SURVEY.md §2 parallelism table, §5.8)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cbet_raytracing_3d_tpu.config import Config
+from cbet_raytracing_3d_tpu.models import raytracer as rt
+from cbet_raytracing_3d_tpu.parallel import sharding as sh
+
+
+@pytest.fixture(scope="module")
+def small_ctx(profiles):
+    cfg = Config(dtype="float64")
+    return rt.prepare(cfg, profiles)
+
+
+def _subset(ctx, n=64):
+    # spread rays over beams and pupil
+    idx = np.linspace(0, ctx.cfg.total_rays - 1, n).astype(np.int64)
+    return rt.select_rays(ctx.state0, idx)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(small_ctx):
+    ctx = small_ctx
+    state0 = _subset(ctx, 64)
+
+    single = jax.jit(rt.make_trace_fn(ctx.cfg))
+    edep1, _ = single(ctx.field4, state0)
+
+    mesh = sh.make_mesh()
+    fn = sh.make_sharded_trace_fn(ctx.cfg, mesh)
+    edep8, state8 = fn(ctx.field4, sh.pad_rays(state0, 8))
+
+    np.testing.assert_allclose(np.asarray(edep8), np.asarray(edep1),
+                               rtol=1e-12, atol=0)
+
+
+def test_pad_rays_are_inert(small_ctx):
+    ctx = small_ctx
+    state0 = _subset(ctx, 61)  # not divisible by 8
+    padded = sh.pad_rays(state0, 8)
+    assert padded.uray.shape[0] == 64
+    assert not bool(np.asarray(padded.alive[61:]).any())
+
+    mesh = sh.make_mesh()
+    fn = sh.make_sharded_trace_fn(ctx.cfg, mesh)
+    edep, _ = fn(ctx.field4, padded)
+
+    single = jax.jit(rt.make_trace_fn(ctx.cfg))
+    edep1, _ = single(ctx.field4, state0)
+    np.testing.assert_allclose(np.asarray(edep), np.asarray(edep1),
+                               rtol=1e-12, atol=0)
+
+
+def test_uneven_beam_count_devices(small_ctx):
+    """60 beams don't divide 8 devices — ray-axis sharding stays balanced
+    (the reference hard-codes nGPUs=2 with beams%nGPUs==0, def.cuh:116)."""
+    ctx = small_ctx
+    state0 = _subset(ctx, 40)
+    for ndev in (1, 2, 4, 8):
+        mesh = sh.make_mesh(jax.devices()[:ndev])
+        fn = sh.make_sharded_trace_fn(ctx.cfg, mesh)
+        edep, _ = fn(ctx.field4, sh.pad_rays(state0, ndev))
+        assert np.isfinite(np.asarray(edep)).all()

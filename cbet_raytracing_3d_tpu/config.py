@@ -78,6 +78,13 @@ class Config:
     dtype: Literal["float32", "float64"] = "float32"
     edep_dtype: Literal["float32", "float64"] = "float64"
     chunk_steps: int = 25             # scan-chunk length for f32->f64 promotion
+    # deposition backend: "pallas" (TPU tile-box kernel), "scatter" (XLA
+    # scatter-add), "pallas_interpret" (kernel in interpreter mode, for CPU
+    # tests), or "auto" (pallas on accelerators when nz+2 <= 128)
+    deposit_backend: Literal["auto", "pallas", "scatter", "pallas_interpret"] = "auto"
+    tile_zones: int = 4               # launch-tile edge in zones (4 -> 256 rays/tile)
+    deposit_box: int = 32             # Pallas deposit box edge (cells)
+    tiles_per_block: int = 8          # tiles per Pallas grid step (overhead amortization)
 
     # ===== derived quantities (formulas identical to def.cuh) =====
     @property

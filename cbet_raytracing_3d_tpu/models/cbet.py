@@ -1,0 +1,230 @@
+"""Cross-beam energy transfer (CBET) — the stage the reference scaffolds but
+does not implement (def.cuh:94-114: ``constant1``, ``iaw``, ``cs``, ``mach``,
+``numstored``/``ncrossings`` capacities; SURVEY.md §2.15).
+
+Model (standard ray-based CBET, honoring the reference's constants contract):
+
+* Each beam ``b`` carries a node intensity field ``I_b`` built from its rays'
+  per-step trilinear deposits of ``uray`` (the reference's ``absorption=0``
+  bookkeeping deposit, launch_ray_XZ.cu:307-311) — the discrete analog of the
+  per-cell crossing records the reference reserves capacity for
+  (``numstored``, def.cuh:94).
+* Between two beams with unit propagation directions k̂_b, k̂_b' (equal
+  frequencies — all OMEGA beams are 3ω), the ion-acoustic resonance parameter
+  at a cell with radial flow û = r̂ is
+
+      eta = -((k̂_b' - k̂_b) · û) * machnum * cs / (|k̂_b' - k̂_b| cs)
+          = -machnum * (unit(k̂_b' - k̂_b) · r̂)
+
+  (def.cuh:99 ``mach = -sqrt(2)`` is "the Mach number for max resonance":
+  |unit(Δk̂)·r̂| <= 1 and two beams at 90° give |Δk̂|=sqrt(2), so eta reaches
+  1 exactly at resonance).
+* The resonance response ``P(eta) = iaw^2 eta / ((eta^2-1)^2 + iaw^2 eta^2)``
+  (odd in eta: pairwise exchange is antisymmetric), and the per-length gain
+  on a ray of beam b:
+
+      g_b(cell) = constant1 * (ne/ncrit)/sqrt(1-ne/ncrit)
+                  * sum_{b'} P(eta_{b,b'}) * I_b'(cell)
+
+  with ``constant1`` exactly def.cuh:111.  Ray energies update per step as
+  ``uray *= exp(g_b * ds)`` with path element ``ds = |v| dt``.
+* Fixed point: trace -> intensity fields -> gains -> retrace, with
+  under-relaxation of the intensity update, until the relative field change
+  drops below ``cbet_tol`` (a batched fixed-point iteration over beams, not
+  the reference's absent serial loop).
+
+Recompute-over-store: each iteration re-traces rays instead of storing
+``ncrossings``-bounded per-ray crossing lists — the TPU-native tradeoff
+(trajectories are cheap to recompute, HBM is better spent on fields).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as k
+from ..config import Config
+from . import raytracer as rt
+
+
+@dataclasses.dataclass
+class CbetResult:
+    edep: np.ndarray          # ghost-padded deposition with CBET-coupled rays
+    intensity: np.ndarray     # (nbeams, nx+2, ny+2, nz+2) final fields
+    iterations: int
+    converged: bool
+    history: list             # per-iteration relative field change
+    stats: dict[str, Any]
+
+
+def pair_couplings(beam_norm: np.ndarray, machnum: float) -> np.ndarray:
+    """Per-beam-pair unit difference vectors scaled for eta:
+    ``eta[b,b',cell] = pair_u[b,b'] . r_hat(cell)``; zero on the diagonal so
+    self-coupling vanishes through P(0)=0."""
+    khat = -beam_norm / np.linalg.norm(beam_norm, axis=1, keepdims=True)
+    dk = khat[None, :, :] - khat[:, None, :]           # (B, B, 3)
+    norm = np.linalg.norm(dk, axis=-1, keepdims=True)
+    unit = np.where(norm > 1e-12, dk / np.where(norm == 0, 1, norm), 0.0)
+    return -machnum * unit                             # (B, B, 3)
+
+
+def gain_prefactor_field(cfg: Config, fields) -> np.ndarray:
+    """A(cell) = constant1 * (ne/ncrit)/sqrt(1-ne/ncrit), clipped below the
+    critical surface (rays turn before ncrit; the clip guards ghost regions)."""
+    frac = np.clip(fields.eden / k.NCRIT, 0.0, 0.99)
+    return k.CONSTANT1 * frac / np.sqrt(1.0 - frac)
+
+
+def resonance(eta: jnp.ndarray, iaw: float = k.IAW) -> jnp.ndarray:
+    e2 = eta * eta
+    return (iaw * iaw) * eta / ((e2 - 1.0) ** 2 + (iaw * iaw) * e2)
+
+
+def make_gain_fn(cfg: Config, ctx: rt.TraceContext):
+    """Jitted ``I (B, P) -> G (B, P)`` on the unpadded node grid."""
+    P = cfg.nx * cfg.ny * cfg.nz
+    rhat = _node_rhat(cfg)                              # (3, P) f32
+    pre = gain_prefactor_field(cfg, ctx.fields).reshape(-1)
+    pair_u = pair_couplings(ctx.beam_norm, cfg.machnum)  # (B, B, 3)
+
+    rhat_j = jnp.asarray(rhat, jnp.float32)
+    pre_j = jnp.asarray(pre, jnp.float32)
+    pair_j = jnp.asarray(pair_u, jnp.float32)
+
+    def gain(intensity):                                # (B, P)
+        def body(g, bprime):
+            u = pair_j[:, bprime, :]                    # (B, 3)
+            eta = (u[:, 0:1] * rhat_j[0][None, :]
+                   + u[:, 1:2] * rhat_j[1][None, :]
+                   + u[:, 2:3] * rhat_j[2][None, :])    # (B, P)
+            g = g + resonance(eta) * intensity[bprime][None, :]
+            return g, None
+        g0 = jnp.zeros_like(intensity)
+        g, _ = jax.lax.scan(body, g0, jnp.arange(intensity.shape[0]))
+        return g * pre_j[None, :]
+
+    return jax.jit(gain)
+
+
+def _node_rhat(cfg: Config) -> np.ndarray:
+    x = np.arange(cfg.nx) * cfg.dx + cfg.xmin
+    y = np.arange(cfg.ny) * cfg.dy + cfg.ymin
+    z = np.arange(cfg.nz) * cfg.dz + cfg.zmin
+    gx, gy, gz = np.meshgrid(x, y, z, indexing="ij")
+    r = np.sqrt(gx ** 2 + gy ** 2 + gz ** 2)
+    r = np.where(r > 1e-12, r, 1.0)
+    return np.stack([(gx / r).reshape(-1), (gy / r).reshape(-1),
+                     (gz / r).reshape(-1)])
+
+
+def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
+                       backend: str | None = None):
+    """Jitted gain-aware trace:
+    ``(grad, absorb, gain (B,P), state0) -> (edep, intensity (B,P), state)``.
+
+    Extends the base integrator step with the multiplicative CBET gain and
+    per-beam intensity accumulation (nearest-node bookkeeping deposit of
+    ``uray``, the crossing-record analog)."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    if backend is None:
+        backend = rt.resolve_deposit_backend(cfg)
+    base_step = rt.make_step_fn(cfg, ctx.layout.rays_per_tile, backend)
+    P = nx * ny * nz
+    nb = cfg.nbeams
+    d = np.array([cfg.dx, cfg.dy, cfg.dz])
+
+    # per-slot beam id (padding slots get 0 but are permanently dead)
+    beam_of_slot = np.maximum(ctx.beam_id, 0).astype(np.int32)
+
+    def make(pad_slots: int):
+        bid = jnp.asarray(
+            np.pad(beam_of_slot, (0, pad_slots - beam_of_slot.shape[0])))
+        shape3 = ((cfg.nx + 2, cfg.ny + 2, 128)
+                  if backend in ("pallas", "pallas_interpret")
+                  else cfg.edep_shape)
+        from ..ops.pallas_deposit import finalize_edep
+
+        def trace(grad, absorb, gain, state0: rt.RayState):
+            dtype = state0.uray.dtype
+            dvec = jnp.asarray(d, dtype)
+
+            def step(carry, _):
+                state, edep, ibeams, oflow = carry
+                # CBET gain along the path element of this step
+                cx, cy, cz = state.cell
+                flat = (cx * ny + cy) * nz + cz
+                g = gain[bid, flat]
+                ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
+                              + (state.vel[1] * dvec[1]) ** 2
+                              + (state.vel[2] * dvec[2]) ** 2)
+                factor = jnp.exp(g * ds)
+                uray = jnp.where(state.alive, state.uray * factor, state.uray)
+                state = rt.RayState(frac=state.frac, vel=state.vel, uray=uray,
+                                    uray_init=state.uray_init, cell=state.cell,
+                                    alive=state.alive)
+                state, edep, of = base_step(state, edep, grad, absorb)
+                # per-beam intensity bookkeeping deposit (nearest node)
+                iflat = (state.cell[0] * ny + state.cell[1]) * nz + state.cell[2]
+                contrib = jnp.where(state.alive, state.uray, 0.0)
+                ibeams = ibeams.at[bid * P + iflat].add(contrib)
+                return (state, edep, ibeams, oflow + of), None
+
+            edep0 = jnp.zeros(shape3, dtype)
+            ib0 = jnp.zeros((nb * P,), dtype)
+            (state, edep, ibeams, oflow), _ = jax.lax.scan(
+                step, (state0, edep0, ib0, jnp.int32(0)), None, length=cfg.nt)
+            if backend in ("pallas", "pallas_interpret"):
+                edep = finalize_edep(edep, cfg.nz)
+            return edep, ibeams.reshape(nb, P), state, oflow
+
+        return trace
+
+    return make
+
+
+def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
+               backend: str | None = None, verbose: bool = False) -> CbetResult:
+    """Fixed-point CBET solve (batched over beam pairs)."""
+    gain_fn = make_gain_fn(cfg, ctx)
+    rpt = ctx.layout.rays_per_tile
+    from ..parallel.sharding import pad_rays
+    state0 = pad_rays(ctx.state0, rpt * cfg.tiles_per_block)
+    trace_maker = make_cbet_trace_fn(cfg, ctx, backend)
+    trace = jax.jit(trace_maker(state0.n))
+
+    P = cfg.nx * cfg.ny * cfg.nz
+    nb = cfg.nbeams
+    zero_gain = jnp.zeros((nb, P), jnp.dtype(cfg.dtype))
+
+    edep, intensity, state, oflow = trace(ctx.grad, ctx.absorb, zero_gain,
+                                          state0)
+    assert int(oflow) == 0
+    history = []
+    converged = False
+    it = 0
+    for it in range(1, cfg.cbet_max_iters + 1):
+        gain = gain_fn(intensity.astype(jnp.float32)).astype(zero_gain.dtype)
+        edep, i_new, state, oflow = trace(ctx.grad, ctx.absorb, gain, state0)
+        assert int(oflow) == 0
+        scale = float(jnp.max(jnp.abs(intensity)))
+        delta = float(jnp.max(jnp.abs(i_new - intensity))) / max(scale, 1e-300)
+        history.append(delta)
+        if verbose:
+            print(f"cbet iter {it}: rel delta {delta:.3e}")
+        intensity = (cfg.cbet_relax * i_new
+                     + (1.0 - cfg.cbet_relax) * intensity)
+        if delta < cfg.cbet_tol:
+            converged = True
+            break
+
+    stats = rt.trace_stats(ctx, rt.select_rays(state, np.arange(ctx.layout.n_slots)))
+    return CbetResult(
+        edep=np.asarray(jax.device_get(edep), np.float64),
+        intensity=np.asarray(jax.device_get(intensity), np.float64).reshape(
+            nb, cfg.nx, cfg.ny, cfg.nz),
+        iterations=it, converged=converged, history=history, stats=stats)

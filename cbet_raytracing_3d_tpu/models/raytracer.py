@@ -3,26 +3,33 @@
 Replaces the reference's one-CUDA-thread-per-ray time loop
 (``launch_ray_XZ.cu:117-359``) with a batched functional design:
 
-* all rays of all beams form one flat batch axis (vmap-free — written batched),
+* all rays of all beams form one flat batch axis, ordered by *launch tile*
+  (a patch of adjacent launch-lattice sites) so that consecutive rays stay
+  spatially coherent through the whole trace — the property the Pallas
+  deposition kernel exploits,
 * the 400-step time loop is a ``lax.scan`` in chunks,
-* the 8 per-step radial interpolations become 2 gathers from precomputed node
+* the 8 per-step radial interpolations become 4 gathers from precomputed node
   fields (see ``fields.py``),
-* deposition is a vectorized scatter-add (see ``ops/deposit.py``),
-* early ray termination (the CUDA ``break``, launch_ray_XZ.cu:351-356) becomes
-  an ``alive`` mask with frozen state.
+* deposition is either the Pallas tile-box kernel (TPU,
+  ``ops/pallas_deposit.py``) or a vectorized XLA scatter-add (CPU/tests),
+* early ray termination (the CUDA ``break``, launch_ray_XZ.cu:351-356)
+  becomes an ``alive`` mask with frozen state.
+
+Performance-critical layout rule: every per-ray array is **1-D** (structure
+of arrays).  (N,3)/(N,8)-shaped state gets padded to 128 TPU lanes inside the
+scan — a measured ~10-40x slowdown.
 
 Numerics: positions are carried *cell-relative* in grid units
-(``cell + frac`` with ``frac = (pos - min)/d - cell``) so that float32
-rounding error is ~1e-7 of a cell per step instead of ~1e-5 when carrying
-absolute coordinates; per-step deposits accumulate into a float32
-grid for ``chunk_steps`` steps, then promote into a float64 master grid,
-bounding summation error far below the 1e-4 accuracy bar (BASELINE.md).
+(``cell + frac`` with ``frac = (pos - min)/d - cell``) so float32 rounding is
+~1e-7 of a cell per step instead of ~1e-5 when carrying absolute coordinates;
+per-step deposits accumulate into a float32 grid for ``chunk_steps`` steps,
+then promote into a float64 master grid, bounding summation error far below
+the 1e-4 accuracy bar (BASELINE.md).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
@@ -33,25 +40,29 @@ from .. import constants as k
 from ..beams import RayInit, init_rays, load_beam_norms, power_table
 from ..config import Config
 from ..fields import Fields, build_fields
-from ..ops.deposit import corner_indices_weights, deposit
+from ..ops.pallas_deposit import (ZLANES, edep_zpad_shape,
+                                  finalize_edep, make_tile_deposit)
 from ..profiles import RadialProfiles, load_profiles
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RayState:
-    """Per-ray integrator state, all shape (N, ...).
+    """Per-ray integrator state: tuples of per-axis 1-D arrays, shape (N,).
 
     Positions are stored cell-relative (``cell`` + ``frac``) so float32
-    rounding stays at the scale of one cell (~1e-7) rather than of the whole
-    grid (~1e-5) — see the module docstring."""
+    rounding stays at the scale of one cell rather than of the whole grid."""
 
-    frac: jnp.ndarray     # (N, 3) position relative to the cell node, grid units
-    vel: jnp.ndarray      # (N, 3) displacement per step, grid units
-    uray: jnp.ndarray     # (N,) ray energy
+    frac: tuple     # (fx, fy, fz) position relative to the cell node, grid units
+    vel: tuple      # (vx, vy, vz) displacement per step, grid units
+    uray: jnp.ndarray       # (N,) ray energy
     uray_init: jnp.ndarray  # (N,) launch energy (for the 5% stop rule)
-    cell: jnp.ndarray     # (N, 3) int32 current cell
-    alive: jnp.ndarray    # (N,) bool — still stepping
+    cell: tuple     # (cx, cy, cz) int32 current cell
+    alive: jnp.ndarray      # (N,) bool — still stepping
+
+    @property
+    def n(self) -> int:
+        return self.uray.shape[0]
 
 
 def initial_cell(cfg: Config, t: np.ndarray) -> np.ndarray:
@@ -71,6 +82,45 @@ def initial_cell(cfg: Config, t: np.ndarray) -> np.ndarray:
 
 
 @dataclasses.dataclass(frozen=True)
+class TileLayout:
+    """Tile-major ray ordering (see module docstring and ops/pallas_deposit).
+
+    ``slot_of[beam, pre_raynum]`` maps a reference thread id to its slot in
+    the flat ray axis; slots not covered by any ray are permanent dead
+    padding (~6% of slots)."""
+
+    rays_per_tile: int
+    tiles_per_beam: int
+    n_slots: int
+    slot_of: np.ndarray       # (nbeams, nrays) int64
+
+
+def build_tile_layout(cfg: Config) -> TileLayout:
+    rpz = cfg.rays_per_zone
+    zones = cfg.zones_spanned
+    tz = cfg.tile_zones
+    side = tz * rpz                       # rays per tile edge (16)
+    rays_per_tile = side * side           # 256
+    ntiles_axis = -(-zones // tz)         # ceil
+    tiles_per_beam = ntiles_axis * ntiles_axis
+
+    kk = np.arange(cfg.nrays, dtype=np.int64)
+    b1, b2 = kk // (rpz * rpz), kk % (rpz * rpz)
+    zy, zx = b1 // zones, b1 % zones
+    ry2, rx2 = b2 // rpz, b2 % rpz
+    tx, ty = zx // tz, zy // tz
+    lx = (zx % tz) * rpz + rx2
+    ly = (zy % tz) * rpz + ry2
+    tile = ty * ntiles_axis + tx
+    slot_in_beam = tile * rays_per_tile + ly * side + lx
+    slot_of = (np.arange(cfg.nbeams, dtype=np.int64)[:, None]
+               * tiles_per_beam * rays_per_tile + slot_in_beam[None, :])
+    n_slots = cfg.nbeams * tiles_per_beam * rays_per_tile
+    return TileLayout(rays_per_tile=rays_per_tile, tiles_per_beam=tiles_per_beam,
+                      n_slots=n_slots, slot_of=slot_of)
+
+
+@dataclasses.dataclass(frozen=True)
 class TraceContext:
     """Everything needed to run a trace: static config + device-ready arrays."""
 
@@ -79,9 +129,11 @@ class TraceContext:
     beam_norm: np.ndarray        # (nbeams, 3) float64
     fields: Fields               # float64 node fields
     rays: RayInit                # float64 launch state (nbeams, nrays, ...)
-    field4: jnp.ndarray          # (nx*ny*nz, 4) compute dtype: grad kicks + absorb
-    state0: RayState             # flattened (nbeams*nrays,) initial state
-    beam_id: np.ndarray          # (N,) int32 beam of each ray
+    layout: TileLayout
+    grad: tuple                  # 3 x (P,) per-axis kick fields, compute dtype
+    absorb: jnp.ndarray          # (P,) absorption coefficient field
+    state0: RayState             # tile-ordered (n_slots,) initial state
+    beam_id: np.ndarray          # (n_slots,) int32 beam of each slot (-1 padding)
 
 
 def prepare(cfg: Config, prof: RadialProfiles | None = None,
@@ -94,50 +146,66 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     fields = build_fields(cfg, prof)
     pow_r = power_table(cfg)
     rays = init_rays(cfg, beam_norm, pow_r)
+    layout = build_tile_layout(cfg)
 
     dtype = jnp.dtype(cfg.dtype)
     d = np.array([cfg.dx, cfg.dy, cfg.dz])
     origin = np.array([cfg.xmin, cfg.ymin, cfg.zmin])
 
-    # Pack the hot fields: per-axis displacement kick per step (already in
-    # grid units: fgrad [cm/s] * dt / d) and the absorption coefficient.
+    # hot fields as separate 1-D arrays: per-axis displacement kick per step
+    # (grid units: fgrad [cm/s] * dt / d) and the absorption coefficient
     kick = fields.fgrad * cfg.dt / d          # (nx,ny,nz,3)
-    field4 = np.concatenate([kick, fields.absorb[..., None]], axis=-1)
-    field4 = jnp.asarray(field4.reshape(-1, 4), dtype=dtype)
+    grad = tuple(jnp.asarray(kick[..., ax].reshape(-1), dtype) for ax in range(3))
+    absorb = jnp.asarray(fields.absorb.reshape(-1), dtype)
 
     # --- initial ray state (float64 on host, cast once) ---
-    nbm, nr_ = cfg.nbeams, cfg.nrays
-    pos = rays.pos.reshape(-1, 3)                     # (N,3) absolute cm
+    pos = rays.pos.reshape(-1, 3)                     # (nbeams*nrays, 3) cm
     t0 = (pos - origin) / d                           # grid units
     cell0 = initial_cell(cfg, t0)
 
     # dispersion relation at the launch cell node (launch_ray_XZ.cu:186-204)
     flat0 = (cell0[:, 0] * cfg.ny + cell0[:, 1]) * cfg.nz + cell0[:, 2]
     wsq = fields.wsq_term.reshape(-1)[flat0]
-    w = np.sqrt((k.OMEGA ** 2 - wsq) / k.C_CMS ** 2)
+    w = np.sqrt(np.maximum(k.OMEGA ** 2 - wsq, 0.0)) / k.C_CMS
     bn = beam_norm / np.linalg.norm(beam_norm, axis=1, keepdims=True)
-    beam_id = np.repeat(np.arange(nbm, dtype=np.int32), nr_)
-    v = -(k.C_CMS ** 2) * bn[beam_id] * (w / k.OMEGA)[:, None]   # cm/s
+    ray_beam = np.repeat(np.arange(cfg.nbeams, dtype=np.int32), cfg.nrays)
+    v = -(k.C_CMS ** 2) * bn[ray_beam] * (w / k.OMEGA)[:, None]  # cm/s
     vel0 = v * cfg.dt / d                                        # grid units/step
 
+    # scatter ray data into tile-ordered slots; uncovered slots stay dead
+    slots = layout.slot_of.reshape(-1)
+    ns = layout.n_slots
+
+    def to_slots(src, fill=0.0, dt_=None):
+        out = np.full((ns,), fill, dtype=src.dtype if dt_ is None else dt_)
+        out[slots] = src
+        return out
+
+    frac0 = t0 - cell0
     state0 = RayState(
-        frac=jnp.asarray(t0 - cell0, dtype),
-        vel=jnp.asarray(vel0, dtype),
-        uray=jnp.asarray(rays.uray.reshape(-1), dtype),
-        uray_init=jnp.asarray(rays.uray.reshape(-1), dtype),
-        cell=jnp.asarray(cell0, jnp.int32),
-        alive=jnp.asarray(rays.mask.reshape(-1)),
+        frac=tuple(jnp.asarray(to_slots(frac0[:, ax]), dtype) for ax in range(3)),
+        vel=tuple(jnp.asarray(to_slots(vel0[:, ax]), dtype) for ax in range(3)),
+        uray=jnp.asarray(to_slots(rays.uray.reshape(-1)), dtype),
+        # padding slots get uray_init=1 to keep the 5% stop rule well-defined
+        uray_init=jnp.asarray(to_slots(rays.uray.reshape(-1), fill=1.0), dtype),
+        cell=tuple(jnp.asarray(to_slots(cell0[:, ax]), jnp.int32) for ax in range(3)),
+        alive=jnp.asarray(to_slots(rays.mask.reshape(-1), fill=False)),
     )
+    beam_id = np.full((ns,), -1, np.int32)
+    beam_id[slots] = ray_beam
     return TraceContext(cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields,
-                        rays=rays, field4=field4, state0=state0, beam_id=beam_id)
+                        rays=rays, layout=layout, grad=grad, absorb=absorb,
+                        state0=state0, beam_id=beam_id)
 
 
 def select_rays(state: RayState, indices: np.ndarray) -> RayState:
-    """Subset the ray batch (tests, diagnostics, incremental runs)."""
+    """Subset the ray batch by slot indices (tests, diagnostics)."""
     idx = jnp.asarray(indices)
     return RayState(
-        frac=state.frac[idx], vel=state.vel[idx], uray=state.uray[idx],
-        uray_init=state.uray_init[idx], cell=state.cell[idx],
+        frac=tuple(a[idx] for a in state.frac),
+        vel=tuple(a[idx] for a in state.vel),
+        uray=state.uray[idx], uray_init=state.uray_init[idx],
+        cell=tuple(a[idx] for a in state.cell),
         alive=state.alive[idx],
     )
 
@@ -147,9 +215,8 @@ def _reindex_axis(cell, frac, n: int, tol: float):
     {cell-1, cell, cell+1} clipped to [0, n-1], the *smallest* within ``tol``
     of the position wins (the countdown loop's last write); else unchanged.
 
-    Operates cell-relative: candidate offset d matches iff ``|d - frac| < tol``.
-    Returns the chosen offset (int32 in {-1, 0, +1}).  No-match leaves the
-    cell unchanged, which coincides with offset 0."""
+    Cell-relative: candidate offset d matches iff ``|d - frac| < tol``.
+    Returns the chosen offset; no-match coincides with offset 0."""
     dsel = jnp.zeros_like(cell)
     for dlt in (1, 0, -1):
         ok = jnp.abs(jnp.asarray(dlt, frac.dtype) - frac) < tol
@@ -161,8 +228,46 @@ def _reindex_axis(cell, frac, n: int, tol: float):
     return dsel
 
 
-def make_step_fn(cfg: Config):
-    """Build the pure per-step function  (state, edep_flat) -> (state, edep_flat).
+def _scatter_deposit(cfg: Config, edep3d, cell, frac, inc):
+    """XLA scatter-add backend (CPU / fallback): one (8N,) 1-D scatter.
+
+    Transcribes the trilinear corner scheme (launch_ray_XZ.cu:319-348)."""
+    nyp, nzp = cfg.ny + 2, cfg.nz + 2
+    dtype = inc.dtype
+    p = [f - 0.5 for f in frac]
+    dwt = [1.0 - jnp.abs(pp) for pp in p]            # dm, dn, dl
+    sgn = [jnp.where(pp < 0, -1, 1).astype(jnp.int32) for pp in p]
+    base = ((cell[0] + 1) * nyp + (cell[1] + 1)) * nzp + (cell[2] + 1)
+    soff = [sgn[0] * (nyp * nzp), sgn[1] * nzp, sgn[2]]
+
+    idxs, vals = [], []
+    for ax_x in (0, 1):
+        wx = dwt[0] if ax_x else (1.0 - dwt[0])
+        ox = soff[0] if ax_x else 0
+        for ax_y in (0, 1):
+            wy = dwt[1] if ax_y else (1.0 - dwt[1])
+            oy = soff[1] if ax_y else 0
+            for ax_z in (0, 1):
+                wz = dwt[2] if ax_z else (1.0 - dwt[2])
+                oz = soff[2] if ax_z else 0
+                idxs.append(base + ox + oy + oz)
+                vals.append(wx * wy * wz * inc)
+    idx = jnp.concatenate(idxs)
+    val = jnp.concatenate(vals).astype(dtype)
+    flat = edep3d.reshape(-1).at[idx].add(val)
+    return flat.reshape(edep3d.shape)
+
+
+def resolve_deposit_backend(cfg: Config) -> str:
+    if cfg.deposit_backend != "auto":
+        return cfg.deposit_backend
+    on_tpu = jax.default_backend() not in ("cpu",)
+    return "pallas" if (on_tpu and cfg.nz + 2 <= 128) else "scatter"
+
+
+def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
+    """Build the pure per-step function
+    ``(state, edep3d) -> (state, edep3d, overflow)``.
 
     Transcribes one iteration of the reference time loop
     (launch_ray_XZ.cu:207-357) over the whole ray batch."""
@@ -171,136 +276,152 @@ def make_step_fn(cfg: Config):
     stop_frac = cfg.stop_fraction
     absorption = cfg.absorption
     nvec = (nx, ny, nz)
+    if backend is None:
+        backend = resolve_deposit_backend(cfg)
+    if backend in ("pallas", "pallas_interpret"):
+        tile_deposit = make_tile_deposit(nx, ny, nz, rays_per_tile,
+                                         box=cfg.deposit_box,
+                                         tiles_per_block=cfg.tiles_per_block,
+                                         interpret=backend == "pallas_interpret")
 
-    def step(state: RayState, edep_flat: jnp.ndarray, field4: jnp.ndarray):
-        dtype = state.frac.dtype
-        flat = (state.cell[:, 0] * ny + state.cell[:, 1]) * nz + state.cell[:, 2]
-        g = field4[flat]                                  # (N,4) gather
+    def step(state: RayState, edep3d: jnp.ndarray, grad, absorb):
+        dtype = state.uray.dtype
+        cx, cy, cz = state.cell
+        flat = (cx * ny + cy) * nz + cz
+        vel = tuple(state.vel[ax] - grad[ax][flat] for ax in range(3))
+        frac = tuple(state.frac[ax] + vel[ax] for ax in range(3))
 
-        vel = state.vel - g[:, :3]                        # gradient kick
-        frac = state.frac + vel                           # position update (grid units)
-
-        dsel = jnp.stack(
-            [_reindex_axis(state.cell[:, i], frac[:, i], nvec[i], tol) for i in range(3)],
-            axis=1,
-        )
-        cell = state.cell + dsel
-        frac = frac - dsel.astype(dtype)
+        dsel = tuple(_reindex_axis(state.cell[ax], frac[ax], nvec[ax], tol)
+                     for ax in range(3))
+        cell = tuple(state.cell[ax] + dsel[ax] for ax in range(3))
+        frac = tuple(frac[ax] - dsel[ax].astype(dtype) for ax in range(3))
 
         # absorption at the *new* cell's node (launch_ray_XZ.cu:296-311)
-        flat2 = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
-        coeff = field4[flat2, 3]
+        flat2 = (cell[0] * ny + cell[1]) * nz + cell[2]
         if absorption:
-            increment = coeff * state.uray
+            increment = absorb[flat2] * state.uray
             uray = state.uray - increment
         else:
             increment = state.uray
             uray = state.uray
 
-        idx8, w8 = corner_indices_weights(cell, frac, nvec)
         inc_masked = jnp.where(state.alive, increment, jnp.asarray(0, dtype))
-        edep_flat = deposit(edep_flat, idx8, w8, inc_masked)
+        if backend in ("pallas", "pallas_interpret"):
+            edep3d, oflow = tile_deposit(edep3d, *cell, *frac, inc_masked)
+        else:
+            edep3d = _scatter_deposit(cfg, edep3d, cell, frac, inc_masked)
+            oflow = jnp.int32(0)
 
         # termination (launch_ray_XZ.cu:351-356); box bound in grid units is
         # +-0.5 cells beyond the node extent
-        t = cell.astype(dtype) + frac                     # global grid coords
-        out = ((t[:, 0] < -0.5) | (t[:, 0] > nx - 0.5)
-               | (t[:, 1] < -0.5) | (t[:, 1] > ny - 0.5)
-               | (t[:, 2] < -0.5) | (t[:, 2] > nz - 0.5))
+        out = jnp.zeros_like(state.alive)
+        for ax in range(3):
+            t = cell[ax].astype(dtype) + frac[ax]
+            out |= (t < -0.5) | (t > nvec[ax] - 0.5)
         dead = (uray <= stop_frac * state.uray_init) | out
         alive = state.alive & jnp.logical_not(dead)
 
         # freeze dead rays
         keep = state.alive
-        k3 = keep[:, None]
         new_state = RayState(
-            frac=jnp.where(k3, frac, state.frac),
-            vel=jnp.where(k3, vel, state.vel),
+            frac=tuple(jnp.where(keep, frac[ax], state.frac[ax]) for ax in range(3)),
+            vel=tuple(jnp.where(keep, vel[ax], state.vel[ax]) for ax in range(3)),
             uray=jnp.where(keep, uray, state.uray),
             uray_init=state.uray_init,
-            cell=jnp.where(k3, cell, state.cell),
+            cell=tuple(jnp.where(keep, cell[ax], state.cell[ax]) for ax in range(3)),
             alive=alive,
         )
-        return new_state, edep_flat
+        return new_state, edep3d, oflow
 
     return step
 
 
-def make_trace_fn(cfg: Config):
+def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     """Build the jittable full-trace function
-    ``(field4, state0) -> (edep_padded, final_state)``.
+    ``(grad, absorb, state0) -> (edep, final_state, overflow)``.
 
     Runs ``nt`` steps as an outer scan over chunks of ``chunk_steps``; each
-    chunk accumulates deposits in the compute dtype and promotes into an
-    ``edep_dtype`` master grid between chunks (summation-error control)."""
-    step = make_step_fn(cfg)
-    n_padded = (cfg.nx + 2) * (cfg.ny + 2) * (cfg.nz + 2)
+    chunk accumulates deposits in float32 and promotes into an ``edep_dtype``
+    master grid between chunks (summation-error control).  ``overflow`` is
+    the total count of deposits that missed the Pallas tile box (0 in any
+    valid configuration; nonzero flags a too-small ``deposit_box``)."""
+    if backend is None:
+        backend = resolve_deposit_backend(cfg)
+    step = make_step_fn(cfg, rays_per_tile, backend)
+    pallas = backend in ("pallas", "pallas_interpret")
+    # the Pallas kernel carries the grid z-lane-padded to 128
+    shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
+              else (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2))
     chunk = max(1, min(cfg.chunk_steps, cfg.nt))
     n_chunks = -(-cfg.nt // chunk)          # ceil
     last_chunk = cfg.nt - (n_chunks - 1) * chunk
 
-    def trace(field4: jnp.ndarray, state0: RayState):
-        compute_dtype = state0.frac.dtype
-        master = jnp.zeros((n_padded,), jnp.dtype(cfg.edep_dtype))
+    def trace(grad, absorb, state0: RayState):
+        compute_dtype = state0.uray.dtype
+        master = jnp.zeros(shape3, jnp.dtype(cfg.edep_dtype))
 
         def chunk_body(carry, steps_in_chunk):
-            state, master = carry
+            state, master, oflow = carry
 
             def inner(carry2, _):
-                state2, edep32 = carry2
-                state2, edep32 = step(state2, edep32, field4)
-                return (state2, edep32), None
+                state2, edep32, of2 = carry2
+                state2, edep32, of_step = step(state2, edep32, grad, absorb)
+                return (state2, edep32, of2 + of_step), None
 
-            edep32 = jnp.zeros((n_padded,), compute_dtype)
+            edep32 = jnp.zeros(shape3, compute_dtype)
 
             def run_inner(n_steps):
-                return jax.lax.scan(inner, (state, edep32), None, length=n_steps)[0]
+                return jax.lax.scan(inner, (state, edep32, oflow), None,
+                                    length=n_steps)[0]
 
             if last_chunk == chunk:
-                state, edep32 = run_inner(chunk)
+                state, edep32, oflow = run_inner(chunk)
             else:
-                # all chunks are `chunk` long except the final short one
-                state, edep32 = jax.lax.cond(
+                state, edep32, oflow = jax.lax.cond(
                     steps_in_chunk == chunk,
-                    lambda s_e: run_inner(chunk),
-                    lambda s_e: run_inner(last_chunk),
-                    (state, edep32),
+                    lambda: run_inner(chunk),
+                    lambda: run_inner(last_chunk),
                 )
             master = master + edep32.astype(master.dtype)
-            return (state, master), None
+            return (state, master, oflow), None
 
         steps_per_chunk = jnp.asarray(
             [chunk] * (n_chunks - 1) + [last_chunk], jnp.int32)
-        (state, master), _ = jax.lax.scan(
-            chunk_body, (state0, master), steps_per_chunk)
-        edep = master.reshape(cfg.nx + 2, cfg.ny + 2, cfg.nz + 2)
-        return edep, state
+        (state, master, oflow), _ = jax.lax.scan(
+            chunk_body, (state0, master, jnp.int32(0)), steps_per_chunk)
+        if pallas:
+            master = finalize_edep(master, cfg.nz)
+        return master, state, oflow
 
     return trace
 
 
-def trace(ctx: TraceContext):
+def trace(ctx: TraceContext, backend: str | None = None):
     """Convenience single-device full trace.  Returns (edep [np.f64 padded],
     final RayState)."""
-    fn = jax.jit(make_trace_fn(ctx.cfg))
-    edep, state = fn(ctx.field4, ctx.state0)
+    from ..parallel.sharding import pad_rays
+    fn = jax.jit(make_trace_fn(ctx.cfg, ctx.layout.rays_per_tile, backend))
+    state0 = pad_rays(ctx.state0,
+                      ctx.layout.rays_per_tile * ctx.cfg.tiles_per_block)
+    edep, state, oflow = fn(ctx.grad, ctx.absorb, state0)
+    assert int(oflow) == 0, f"deposit box overflow: {int(oflow)} deposits lost"
     return np.asarray(jax.device_get(edep), dtype=np.float64), state
 
 
 def trace_stats(ctx: TraceContext, state: RayState) -> dict[str, Any]:
     """Run metrics the reference lacks (SURVEY.md §5.5): launch/termination
     accounting and energy bookkeeping."""
-    launched = int(np.sum(ctx.rays.mask))
-    alive_end = int(jnp.sum(state.alive))
+    launched_mask = np.asarray(ctx.state0.alive)
+    launched = int(launched_mask.sum())
+    alive_end = int(np.asarray(state.alive).sum())
     uray = np.asarray(state.uray, np.float64)
     uinit = np.asarray(state.uray_init, np.float64)
-    mask = np.asarray(ctx.rays.mask.reshape(-1))
-    absorbed = float(np.sum((uinit - uray)[mask]))
+    absorbed = float(np.sum((uinit - uray)[launched_mask]))
     return {
         "rays_total": int(ctx.cfg.total_rays),
         "rays_launched": launched,
         "rays_alive_at_end": alive_end,
         "rays_terminated": launched - alive_end,
-        "energy_launched": float(np.sum(uinit[mask])),
+        "energy_launched": float(np.sum(uinit[launched_mask])),
         "energy_absorbed": absorbed,
     }

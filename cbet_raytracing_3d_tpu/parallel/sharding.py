@@ -3,12 +3,14 @@
 Replaces the reference's multi-GPU story — static beam split across 2 GPUs
 with fully replicated inputs and a host-CPU OpenMP sum of per-GPU deposition
 grids (``main.cu:133-152,166-176,199-210``; ``multi_gpu.cpp``) — with the
-TPU-native equivalent: the flat ray batch axis is sharded over a 1-D
+TPU-native equivalent: the flat ray (slot) axis is sharded over a 1-D
 ``jax.sharding.Mesh``, the small inputs (node fields, tables) are replicated,
 each device accumulates a local deposition grid, and the grids are combined
-with ``jax.lax.psum`` over ICI.  The beam split is a special case (rays are
-ordered by beam), but ray-level sharding stays load-balanced for any device
-count.
+with ``jax.lax.psum`` over ICI.  Sharding cuts at *launch-tile* boundaries so
+every device's Pallas deposit kernel sees whole tiles; beam boundaries are a
+special case (tiles never span beams), and slot-level sharding stays
+load-balanced for any device count — unlike the reference's hard-coded
+``nGPUs=2`` beam split (def.cuh:116).
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
-from ..models.raytracer import RayState, make_trace_fn
+from ..models.raytracer import RayState, TraceContext, make_trace_fn
 
 AXIS = "rays"
 
@@ -33,60 +35,66 @@ def make_mesh(devices=None) -> Mesh:
 
 
 def pad_rays(state: RayState, multiple: int) -> RayState:
-    """Pad the ray axis to a multiple of the device count with dead rays."""
-    n = state.uray.shape[0]
+    """Pad the slot axis to a multiple of ``multiple`` with dead rays.
+
+    For the Pallas deposit path, ``multiple`` must be
+    ``n_devices * rays_per_tile`` so shards split at tile boundaries."""
+    n = state.n
     pad = (-n) % multiple
     if pad == 0:
         return state
 
     def pad0(x, fill=0):
-        width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, width, constant_values=fill)
+        return jnp.pad(x, (0, pad), constant_values=fill)
 
     return RayState(
-        frac=pad0(state.frac),
-        vel=pad0(state.vel),
+        frac=tuple(pad0(a) for a in state.frac),
+        vel=tuple(pad0(a) for a in state.vel),
         uray=pad0(state.uray),
         # avoid 0 <= stop_frac*0 edge cases in the termination rule
         uray_init=pad0(state.uray_init, fill=1),
-        cell=pad0(state.cell),
+        cell=tuple(pad0(a) for a in state.cell),
         alive=pad0(state.alive, fill=False),
     )
 
 
-def make_sharded_trace_fn(cfg: Config, mesh: Mesh):
-    """Jitted multi-device trace: ``(field4, state0) -> (edep, state)``.
+def make_sharded_trace_fn(cfg: Config, mesh: Mesh, rays_per_tile: int,
+                          backend: str | None = None):
+    """Jitted multi-device trace:
+    ``(grad, absorb, state0) -> (edep, state, overflow)``.
 
-    ``state0``'s ray axis must be divisible by the mesh size (see
-    ``pad_rays``).  The deposition grid is psum-reduced over ICI; the returned
-    ``edep`` is replicated and the final ray state stays ray-sharded.
-    """
-    trace1 = make_trace_fn(cfg)
+    ``state0``'s slot axis must be divisible by mesh size * rays_per_tile
+    (see ``pad_rays``).  The deposition grid is psum-reduced over ICI; the
+    returned ``edep`` is replicated, the ray state stays sharded."""
+    trace1 = make_trace_fn(cfg, rays_per_tile, backend)
 
-    def local_trace(field4, state0):
-        edep, state = trace1(field4, state0)
-        return jax.lax.psum(edep, AXIS), state
+    def local_trace(grad, absorb, state0):
+        edep, state, oflow = trace1(grad, absorb, state0)
+        return (jax.lax.psum(edep, AXIS), state, jax.lax.psum(oflow, AXIS))
 
     # check_vma=False: the per-device edep accumulator starts as a replicated
-    # zeros array and *becomes* device-varying via scatter from sharded ray
+    # zeros array and *becomes* device-varying via deposits from sharded ray
     # state; the varying-manual-axes checker can't express that transition
     # through the scan carry.
     sharded = jax.shard_map(
         local_trace,
         mesh=mesh,
-        in_specs=(P(), P(AXIS)),
-        out_specs=(P(), P(AXIS)),
+        in_specs=(P(), P(), P(AXIS)),
+        out_specs=(P(), P(AXIS), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
-def run_sharded(ctx, mesh: Mesh | None = None):
-    """Convenience entry: pad, place, trace, return (edep np.f64, state)."""
+def run_sharded(ctx: TraceContext, mesh: Mesh | None = None,
+                backend: str | None = None):
+    """Convenience entry: pad, trace, return (edep np.f64, state)."""
     if mesh is None:
         mesh = make_mesh()
     n_dev = math.prod(mesh.devices.shape)
-    state0 = pad_rays(ctx.state0, n_dev)
-    fn = make_sharded_trace_fn(ctx.cfg, mesh)
-    edep, state = fn(ctx.field4, state0)
+    state0 = pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
+                      * ctx.cfg.tiles_per_block)
+    fn = make_sharded_trace_fn(ctx.cfg, mesh, ctx.layout.rays_per_tile, backend)
+    edep, state, oflow = fn(ctx.grad, ctx.absorb, state0)
+    assert int(oflow) == 0, f"deposit box overflow: {int(oflow)} deposits lost"
     return np.asarray(jax.device_get(edep), dtype=np.float64), state

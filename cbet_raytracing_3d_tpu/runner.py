@@ -1,0 +1,104 @@
+"""End-to-end run orchestrator, mirroring the reference driver
+(``rayTracing()``, main.cu:96-232): Init (profiles, fields, ray setup, device
+upload) -> Tracing (device compute) -> Combining (cross-device reduction +
+host download), with the reference's phase-timing report, plus run metrics,
+checkpointing, and output writing the reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from typing import Any
+
+import jax
+import numpy as np
+
+from .config import Config
+from .models import raytracer as rt
+from .models.cbet import cbet_solve
+from .parallel import sharding as sh
+from .utils.output import dump_print_format, save_hdf5, save_npz, HAVE_H5PY
+from .utils.timers import PhaseTimers
+
+
+@dataclasses.dataclass
+class RunResult:
+    cfg: Config
+    edep: np.ndarray             # ghost-padded (nx+2, ny+2, nz+2) float64
+    stats: dict[str, Any]
+    timings: dict[str, float]
+    cbet: Any | None = None
+
+
+def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
+        backend: str | None = None, verbose: bool = True) -> RunResult:
+    """Full simulation run with reference-parity phase accounting."""
+    timers = PhaseTimers()
+
+    with timers.phase("Init"):
+        ctx = rt.prepare(cfg)
+        if mesh is None:
+            mesh = sh.make_mesh()
+        n_dev = int(np.prod(mesh.devices.shape))
+        state0 = sh.pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
+                             * cfg.tiles_per_block)
+        fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile, backend)
+        # device placement of the small replicated inputs happens on first call
+
+    with timers.phase("Tracing"):
+        edep_dev, state, oflow = fn(ctx.grad, ctx.absorb, state0)
+        # Combining (psum over ICI) happens inside the jitted fn; the fence +
+        # host download is what remains
+    with timers.phase("Combining"):
+        edep = np.asarray(jax.device_get(edep_dev), dtype=np.float64)
+        oflow = int(jax.device_get(oflow))
+
+    if oflow:
+        raise RuntimeError(
+            f"deposit box overflow: {oflow} deposits lost — raise "
+            f"Config.deposit_box (currently {cfg.deposit_box})")
+
+    stats = rt.trace_stats(ctx, state)
+    stats["edep_total"] = float(edep.sum())
+    stats["devices"] = n_dev
+
+    cbet_result = None
+    if with_cbet:
+        with timers.phase("CBET"):
+            cbet_result = cbet_solve(cfg, ctx, mesh=mesh, backend=backend)
+
+    timings = timers.as_dict()
+    if verbose:
+        print(timers.report(), file=sys.stderr)
+    return RunResult(cfg=cfg, edep=edep, stats=stats, timings=timings,
+                     cbet=cbet_result)
+
+
+def write_outputs(res: RunResult, outdir: str, formats: tuple[str, ...] = ("npz",),
+                  basename: str = "edep") -> list[str]:
+    os.makedirs(outdir, exist_ok=True)
+    written = []
+    for fmt in formats:
+        path = os.path.join(outdir, f"{basename}.{fmt}")
+        if fmt == "npz":
+            save_npz(path, res.cfg, res.edep, res.stats)
+        elif fmt == "hdf5":
+            if not HAVE_H5PY:
+                print("warning: h5py unavailable, skipping hdf5 output",
+                      file=sys.stderr)
+                continue
+            save_hdf5(path, res.cfg, res.edep)
+        elif fmt == "txt":
+            with open(path, "w") as f:
+                f.write(dump_print_format(res.edep))
+        elif fmt == "json":
+            with open(path, "w") as f:
+                json.dump({"stats": res.stats, "timings": res.timings}, f,
+                          indent=2)
+        else:
+            raise ValueError(f"unknown output format: {fmt}")
+        written.append(path)
+    return written

@@ -1,61 +1,39 @@
-"""Deposition property tests (ops/deposit.py): weight positivity and
-sum-to-one for in-cell rays, exact energy conservation of the scatter-add,
-and exact index/weight agreement with the reference formula
-(launch_ray_XZ.cu:319-348)."""
+"""Deposition tests: the XLA scatter backend vs a literal transcription of
+the reference corner scheme (launch_ray_XZ.cu:319-348), the Pallas tile-box
+kernel (interpret mode) vs the scatter backend, energy conservation, and the
+overflow counter."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from cbet_raytracing_3d_tpu.ops.deposit import corner_indices_weights, deposit
+from cbet_raytracing_3d_tpu.config import Config
+from cbet_raytracing_3d_tpu.models.raytracer import _scatter_deposit
+from cbet_raytracing_3d_tpu.ops.pallas_deposit import (ZLANES, finalize_edep,
+                                                       make_tile_deposit)
 
-GRID = (10, 11, 12)
-
-
-def _random_in_cell(rng, n):
-    cell = np.stack([rng.integers(0, g, size=n) for g in GRID], axis=1).astype(np.int32)
-    frac = rng.uniform(-0.4999, 0.4999, size=(n, 3))
-    return cell, frac
-
-
-def test_weights_sum_to_one_and_positive(rng):
-    cell, frac = _random_in_cell(rng, 500)
-    idx8, w8 = corner_indices_weights(jnp.asarray(cell), jnp.asarray(frac), GRID)
-    w8 = np.asarray(w8)
-    assert np.all(w8 >= 0)
-    np.testing.assert_allclose(w8.sum(axis=1), 1.0, rtol=1e-12)
+CFG = Config(nx=24, ny=20, nz=22)
+GRID = (CFG.nx, CFG.ny, CFG.nz)
+SHAPE3 = CFG.edep_shape
 
 
-def test_indices_in_padded_range(rng):
-    cell, frac = _random_in_cell(rng, 500)
-    idx8, _ = corner_indices_weights(jnp.asarray(cell), jnp.asarray(frac), GRID)
-    total = (GRID[0] + 2) * (GRID[1] + 2) * (GRID[2] + 2)
-    assert np.asarray(idx8).min() >= 0
-    assert np.asarray(idx8).max() < total
+def _random_rays(rng, n, cell_lo=(0, 0, 0), cell_hi=GRID):
+    cell = [rng.integers(cell_lo[a], cell_hi[a], size=n).astype(np.int32)
+            for a in range(3)]
+    frac = [rng.uniform(-0.4999, 0.4999, size=n) for _ in range(3)]
+    inc = rng.uniform(0.5, 2.0, size=n)
+    return cell, frac, inc
 
 
-def test_energy_conservation(rng):
-    cell, frac = _random_in_cell(rng, 300)
-    inc = rng.uniform(0.5, 2.0, size=300)
-    idx8, w8 = corner_indices_weights(jnp.asarray(cell), jnp.asarray(frac), GRID)
-    total = (GRID[0] + 2) * (GRID[1] + 2) * (GRID[2] + 2)
-    edep = deposit(jnp.zeros(total), idx8, w8, jnp.asarray(inc))
-    np.testing.assert_allclose(float(edep.sum()), inc.sum(), rtol=1e-12)
-
-
-def test_matches_reference_formula(rng):
-    """Exact transcription check of the a1..a8 / sign-offset scheme."""
-    nx, ny, nz = GRID
-    cell, frac = _random_in_cell(rng, 100)
-    inc = rng.uniform(0.5, 2.0, size=100)
-    idx8, w8 = corner_indices_weights(jnp.asarray(cell), jnp.asarray(frac), GRID)
-    total = (nx + 2) * (ny + 2) * (nz + 2)
-    got = np.asarray(deposit(jnp.zeros(total), idx8, w8, jnp.asarray(inc)))
-
-    want = np.zeros((nx + 2, ny + 2, nz + 2))
-    for (cx, cy, cz), (fx, fy, fz), u in zip(cell, frac, inc):
-        xp, yp, zp = fx - 0.5, fy - 0.5, fz - 0.5
+def _reference_deposit(cell, frac, inc):
+    """Literal a1..a8 transcription."""
+    want = np.zeros(SHAPE3)
+    for i in range(len(inc)):
+        cx, cy, cz = (cell[0][i], cell[1][i], cell[2][i])
+        xp, yp, zp = (frac[0][i] - 0.5, frac[1][i] - 0.5, frac[2][i] - 0.5)
         dm, dn, dl = 1 - abs(xp), 1 - abs(yp), 1 - abs(zp)
         sx, sy, sz = (-1 if xp < 0 else 1), (-1 if yp < 0 else 1), (-1 if zp < 0 else 1)
+        u = inc[i]
         want[cx + 1, cy + 1, cz + 1] += (1 - dl) * (1 - dn) * (1 - dm) * u
         want[cx + 1 + sx, cy + 1, cz + 1] += (1 - dl) * (1 - dn) * dm * u
         want[cx + 1, cy + 1, cz + 1 + sz] += dl * (1 - dn) * (1 - dm) * u
@@ -64,4 +42,96 @@ def test_matches_reference_formula(rng):
         want[cx + 1 + sx, cy + 1 + sy, cz + 1] += (1 - dl) * dn * dm * u
         want[cx + 1, cy + 1 + sy, cz + 1 + sz] += dl * dn * (1 - dm) * u
         want[cx + 1 + sx, cy + 1 + sy, cz + 1 + sz] += dl * dn * dm * u
-    np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-12, atol=1e-12)
+    return want
+
+
+def _run_scatter(cell, frac, inc):
+    got = _scatter_deposit(
+        CFG, jnp.zeros(SHAPE3),
+        tuple(jnp.asarray(c) for c in cell),
+        tuple(jnp.asarray(f) for f in frac),
+        jnp.asarray(inc))
+    return np.asarray(got)
+
+
+def test_scatter_matches_reference_formula(rng):
+    cell, frac, inc = _random_rays(rng, 200)
+    got = _run_scatter(cell, frac, inc)
+    np.testing.assert_allclose(got, _reference_deposit(cell, frac, inc),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_scatter_energy_conservation(rng):
+    cell, frac, inc = _random_rays(rng, 300)
+    got = _run_scatter(cell, frac, inc)
+    np.testing.assert_allclose(got.sum(), inc.sum(), rtol=1e-12)
+
+
+def _run_pallas(cell, frac, inc, rays_per_tile):
+    dep = make_tile_deposit(*GRID, rays_per_tile=rays_per_tile, box=16,
+                            tiles_per_block=1, interpret=True)
+    zshape = (GRID[0] + 2, GRID[1] + 2, ZLANES)
+    edep, oflow = dep(jnp.zeros(zshape, jnp.float32),
+                      *(jnp.asarray(c, jnp.int32) for c in cell),
+                      *(jnp.asarray(f, jnp.float32) for f in frac),
+                      jnp.asarray(inc, jnp.float32))
+    edep = finalize_edep(edep, GRID[2])
+    return np.asarray(edep, np.float64), int(oflow)
+
+
+def test_pallas_matches_scatter_coherent_tiles(rng):
+    """Tiles whose rays sit in a small box: the kernel must agree with the
+    scatter backend and report zero overflow."""
+    n_tiles, rpt = 5, 64
+    cells, fracs, incs = [], [], []
+    for t in range(n_tiles):
+        ox = rng.integers(0, GRID[0] - 12, size=3)
+        cell, frac, inc = _random_rays(
+            rng, rpt, cell_lo=ox, cell_hi=ox + 10)
+        cells.append(cell); fracs.append(frac); incs.append(inc)
+    cell = [np.concatenate([c[a] for c in cells]) for a in range(3)]
+    frac = [np.concatenate([f[a] for f in fracs]) for a in range(3)]
+    inc = np.concatenate(incs)
+
+    got, oflow = _run_pallas(cell, frac, inc, rpt)
+    assert oflow == 0
+    want = _run_scatter(cell, frac, inc)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6 * want.max())
+
+
+def test_pallas_dead_rays_ignored(rng):
+    """inc==0 rays must not affect the deposit or the box origin, even with
+    garbage positions."""
+    rpt = 64
+    ox = np.array([5, 5, 5])
+    cell, frac, inc = _random_rays(rng, rpt, cell_lo=ox, cell_hi=ox + 8)
+    # poison half the rays: far-away cells but zero increment
+    poison = np.arange(rpt) % 2 == 0
+    for a in range(3):
+        cell[a] = np.where(poison, GRID[a] - 1, cell[a]).astype(np.int32)
+    inc = np.where(poison, 0.0, inc)
+
+    got, oflow = _run_pallas(cell, frac, inc, rpt)
+    assert oflow == 0
+    keep = ~poison
+    want = _run_scatter([c[keep] for c in cell], [f[keep] for f in frac], inc[keep])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6 * max(want.max(), 1))
+
+
+def test_pallas_overflow_detection(rng):
+    """Live rays outside the tile box must be counted, not silently dropped."""
+    rpt = 64
+    cell, frac, inc = _random_rays(rng, rpt, cell_lo=(0, 0, 0), cell_hi=(2, 2, 2))
+    # one live ray far away in x -> outside the 16-box
+    cell[0][7] = GRID[0] - 2
+    got, oflow = _run_pallas(cell, frac, inc, rpt)
+    assert oflow >= 1
+
+
+def test_pallas_all_dead_tile(rng):
+    rpt = 64
+    cell, frac, inc = _random_rays(rng, rpt)
+    inc[:] = 0.0
+    got, oflow = _run_pallas(cell, frac, inc, rpt)
+    assert oflow == 0
+    assert got.sum() == 0.0

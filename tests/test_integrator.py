@@ -20,8 +20,18 @@ RAY_IDS = list(range(0, 19600, 700))
 BEAMS = [0, 17]
 
 
-def _subset_indices(cfg, beams, ray_ids):
-    return np.concatenate([np.asarray(ray_ids) + b * cfg.nrays for b in beams])
+def _subset_slots(ctx, beams, ray_ids):
+    return np.concatenate([ctx.layout.slot_of[b, np.asarray(ray_ids)]
+                           for b in beams])
+
+
+def _cast32(s0):
+    f32 = jnp.float32
+    return rt.RayState(
+        frac=tuple(a.astype(f32) for a in s0.frac),
+        vel=tuple(a.astype(f32) for a in s0.vel),
+        uray=s0.uray.astype(f32), uray_init=s0.uray_init.astype(f32),
+        cell=s0.cell, alive=s0.alive)
 
 
 @pytest.fixture(scope="module")
@@ -31,18 +41,18 @@ def ctx64(profiles):
 
 @pytest.fixture(scope="module")
 def state0_subset(ctx64):
-    idx = _subset_indices(ctx64.cfg, BEAMS, RAY_IDS)
-    return rt.select_rays(ctx64.state0, idx)
+    return rt.select_rays(ctx64.state0, _subset_slots(ctx64, BEAMS, RAY_IDS))
 
 
 @pytest.fixture(scope="module")
 def trace64(ctx64):
-    return jax.jit(rt.make_trace_fn(ctx64.cfg))
+    return jax.jit(rt.make_trace_fn(ctx64.cfg, ctx64.layout.rays_per_tile))
 
 
 @pytest.fixture(scope="module")
 def result64(ctx64, state0_subset, trace64):
-    edep, state = trace64(ctx64.field4, state0_subset)
+    edep, state, oflow = trace64(ctx64.grad, ctx64.absorb, state0_subset)
+    assert int(oflow) == 0
     return np.asarray(edep, np.float64), state
 
 
@@ -72,17 +82,36 @@ def test_f64_matches_oracle(result64, oracle_result):
 def test_f32_meets_accuracy_bar(ctx64, state0_subset, trace64, oracle_result):
     """Production float32 vs the float64 oracle: <1e-4 relative L2 error
     (BASELINE.md accuracy target; measured ~6e-6 on this sample)."""
-    s0 = state0_subset
-    s32 = rt.RayState(
-        frac=s0.frac.astype(jnp.float32), vel=s0.vel.astype(jnp.float32),
-        uray=s0.uray.astype(jnp.float32), uray_init=s0.uray_init.astype(jnp.float32),
-        cell=s0.cell, alive=s0.alive)
-    edep, _ = trace64(ctx64.field4.astype(jnp.float32), s32)
+    grad32 = tuple(g.astype(jnp.float32) for g in ctx64.grad)
+    edep, _, oflow = trace64(grad32, ctx64.absorb.astype(jnp.float32),
+                             _cast32(state0_subset))
+    assert int(oflow) == 0
     rel_l2, rel_sig = _err_metrics(np.asarray(edep, np.float64), oracle_result)
     assert rel_l2 < 1e-4
     # per-node bound on a sparse ray sample where single deposits dominate
     # nodes; full-density runs average substantially tighter
     assert rel_sig < 1e-3
+
+
+def test_pallas_interpret_full_beam_subset(ctx64, state0_subset, oracle_result):
+    """The Pallas tile-deposit path (interpret mode on CPU) must reproduce the
+    oracle through the full integrator."""
+    cfg = ctx64.cfg.replace(tiles_per_block=1)
+    # whole tiles covering the subset rays are required for the kernel; trace
+    # two full tiles instead of the sparse subset
+    rpt = ctx64.layout.rays_per_tile
+    tile0 = 30 * rpt
+    idx = np.arange(tile0, tile0 + 2 * rpt)
+    s0 = rt.select_rays(ctx64.state0, idx)
+    grad32 = tuple(g.astype(jnp.float32) for g in ctx64.grad)
+    ab32 = ctx64.absorb.astype(jnp.float32)
+    fn = jax.jit(rt.make_trace_fn(cfg, rpt, backend="pallas_interpret"))
+    edep_p, _, oflow = fn(grad32, ab32, _cast32(s0))
+    assert int(oflow) == 0
+    fn_s = jax.jit(rt.make_trace_fn(cfg, rpt, backend="scatter"))
+    edep_s, _, _ = fn_s(grad32, ab32, _cast32(s0))
+    np.testing.assert_allclose(np.asarray(edep_p), np.asarray(edep_s),
+                               rtol=1e-4, atol=1e-5 * float(np.asarray(edep_s).max() or 1))
 
 
 def test_energy_conservation(state0_subset, result64):
@@ -96,7 +125,7 @@ def test_energy_conservation(state0_subset, result64):
 def test_determinism(ctx64, state0_subset, trace64, result64):
     """Bitwise-identical repeated runs — the property the reference's
     atomicAdd ordering cannot guarantee (SURVEY.md §4)."""
-    edep2, _ = trace64(ctx64.field4, state0_subset)
+    edep2, _, _ = trace64(ctx64.grad, ctx64.absorb, state0_subset)
     assert np.array_equal(np.asarray(edep2), result64[0])
 
 
@@ -106,8 +135,9 @@ def test_no_absorption_bookkeeping_mode(profiles):
     cfg = Config(dtype="float64", absorption=False)
     want = oracle_edep(cfg, profiles, beams=[5], rays=RAY_IDS[:8])
     ctx = rt.prepare(cfg, profiles)
-    state0 = rt.select_rays(ctx.state0, _subset_indices(cfg, [5], RAY_IDS[:8]))
-    edep, state = jax.jit(rt.make_trace_fn(cfg))(ctx.field4, state0)
+    state0 = rt.select_rays(ctx.state0, _subset_slots(ctx, [5], RAY_IDS[:8]))
+    edep, state, _ = jax.jit(rt.make_trace_fn(cfg, ctx.layout.rays_per_tile))(
+        ctx.grad, ctx.absorb, state0)
     rel_l2, rel_sig = _err_metrics(np.asarray(edep, np.float64), want)
     assert rel_l2 < 1e-9
     assert rel_sig < 1e-8
@@ -120,9 +150,9 @@ def test_reference_parity_mode(ctx64, trace64):
     are pupil-rejected in clean mode too (test_init), so masked either way."""
     cfg = Config(dtype="float64", parity="reference")
     assert cfg.traced_rays_per_beam == 19456
-    state0 = rt.select_rays(ctx64.state0, _subset_indices(cfg, [0], [19500, 19599]))
+    state0 = rt.select_rays(ctx64.state0, _subset_slots(ctx64, [0], [19500, 19599]))
     assert not bool(np.asarray(state0.alive).any())
-    edep, _ = trace64(ctx64.field4, state0)
+    edep, _, _ = trace64(ctx64.grad, ctx64.absorb, state0)
     assert float(np.asarray(edep).sum()) == 0.0
 
 

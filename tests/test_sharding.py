@@ -18,8 +18,8 @@ def small_ctx(profiles):
 
 
 def _subset(ctx, n=64):
-    # spread rays over beams and pupil
-    idx = np.linspace(0, ctx.cfg.total_rays - 1, n).astype(np.int64)
+    # spread rays over beams and pupil (slot indices)
+    idx = np.linspace(0, ctx.layout.n_slots - 1, n).astype(np.int64)
     return rt.select_rays(ctx.state0, idx)
 
 
@@ -31,12 +31,13 @@ def test_sharded_matches_single_device(small_ctx):
     ctx = small_ctx
     state0 = _subset(ctx, 64)
 
-    single = jax.jit(rt.make_trace_fn(ctx.cfg))
-    edep1, _ = single(ctx.field4, state0)
+    rpt = ctx.layout.rays_per_tile
+    single = jax.jit(rt.make_trace_fn(ctx.cfg, rpt))
+    edep1, _, _ = single(ctx.grad, ctx.absorb, state0)
 
     mesh = sh.make_mesh()
-    fn = sh.make_sharded_trace_fn(ctx.cfg, mesh)
-    edep8, state8 = fn(ctx.field4, sh.pad_rays(state0, 8))
+    fn = sh.make_sharded_trace_fn(ctx.cfg, mesh, rpt)
+    edep8, state8, _ = fn(ctx.grad, ctx.absorb, sh.pad_rays(state0, 8))
 
     np.testing.assert_allclose(np.asarray(edep8), np.asarray(edep1),
                                rtol=1e-12, atol=0)
@@ -49,12 +50,13 @@ def test_pad_rays_are_inert(small_ctx):
     assert padded.uray.shape[0] == 64
     assert not bool(np.asarray(padded.alive[61:]).any())
 
+    rpt = ctx.layout.rays_per_tile
     mesh = sh.make_mesh()
-    fn = sh.make_sharded_trace_fn(ctx.cfg, mesh)
-    edep, _ = fn(ctx.field4, padded)
+    fn = sh.make_sharded_trace_fn(ctx.cfg, mesh, rpt)
+    edep, _, _ = fn(ctx.grad, ctx.absorb, padded)
 
-    single = jax.jit(rt.make_trace_fn(ctx.cfg))
-    edep1, _ = single(ctx.field4, state0)
+    single = jax.jit(rt.make_trace_fn(ctx.cfg, rpt))
+    edep1, _, _ = single(ctx.grad, ctx.absorb, state0)
     np.testing.assert_allclose(np.asarray(edep), np.asarray(edep1),
                                rtol=1e-12, atol=0)
 
@@ -64,8 +66,9 @@ def test_uneven_beam_count_devices(small_ctx):
     (the reference hard-codes nGPUs=2 with beams%nGPUs==0, def.cuh:116)."""
     ctx = small_ctx
     state0 = _subset(ctx, 40)
+    rpt = ctx.layout.rays_per_tile
     for ndev in (1, 2, 4, 8):
         mesh = sh.make_mesh(jax.devices()[:ndev])
-        fn = sh.make_sharded_trace_fn(ctx.cfg, mesh)
-        edep, _ = fn(ctx.field4, sh.pad_rays(state0, ndev))
+        fn = sh.make_sharded_trace_fn(ctx.cfg, mesh, rpt)
+        edep, _, _ = fn(ctx.grad, ctx.absorb, sh.pad_rays(state0, ndev))
         assert np.isfinite(np.asarray(edep)).all()

@@ -1,0 +1,88 @@
+"""Benchmark harness: full OMEGA 60-beam trace on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "ray_steps_per_sec_per_chip", "value": N, "unit": "ray-steps/s",
+   "vs_baseline": N, ...}
+
+Metric: nominal ray-steps/sec/chip = (total_rays * nt) / steady trace time —
+the reference's own upper-bound work accounting (BASELINE.md: 60 beams x
+19,600 rays x <=400 steps; both codes terminate rays early, so the nominal
+count is the comparable unit).
+
+Baseline: the reference publishes no numbers and its hardware (2x V100) is
+unavailable here (BASELINE.md).  Per the BASELINE.md protocol we use a
+first-principles estimate of the reference single-GPU build: ~1e9 nominal
+ray-steps/s (V100-class device, 8 shared-memory binary searches + 8 global
+atomicAdds per ray-step) — a deliberately generous ceiling so vs_baseline is
+conservative.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from cbet_raytracing_3d_tpu import Config
+from cbet_raytracing_3d_tpu.models import raytracer as rt
+from cbet_raytracing_3d_tpu.parallel import sharding as sh
+
+BASELINE_RAY_STEPS_PER_SEC = 1.0e9   # estimated reference single-GPU (see above)
+
+
+def main() -> int:
+    cfg = Config()
+    t_init0 = time.perf_counter()
+    ctx = rt.prepare(cfg)
+    mesh = sh.make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    state0 = sh.pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
+                         * cfg.tiles_per_block)
+    fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile)
+    t_init = time.perf_counter() - t_init0
+
+    # compile + first run (axon caveat: block_until_ready is a no-op on the
+    # tunneled backend — fence with device_get)
+    t0 = time.perf_counter()
+    edep, state, oflow = fn(ctx.field4, state0)
+    edep_h = jax.device_get(edep)
+    t_first = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        edep, state, oflow = fn(ctx.field4, state0)
+        edep_h = jax.device_get(edep)
+        times.append(time.perf_counter() - t0)
+    t_trace = min(times)
+
+    if int(jax.device_get(oflow)) != 0:
+        print(json.dumps({"metric": "ray_steps_per_sec_per_chip", "value": 0,
+                          "unit": "ray-steps/s", "vs_baseline": 0,
+                          "error": "deposit box overflow"}))
+        return 1
+
+    ray_steps = cfg.total_rays * cfg.nt
+    value = ray_steps / t_trace / n_dev
+    edep_np = np.asarray(edep_h, np.float64)
+    out = {
+        "metric": "ray_steps_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(value / BASELINE_RAY_STEPS_PER_SEC, 3),
+        "trace_seconds": round(t_trace, 3),
+        "init_seconds": round(t_init, 3),
+        "compile_seconds": round(t_first - t_trace, 1),
+        "devices": n_dev,
+        "backend": jax.default_backend(),
+        "rays": cfg.total_rays,
+        "nt": cfg.nt,
+        "edep_total": float(edep_np.sum()),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

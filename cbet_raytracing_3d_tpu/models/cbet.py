@@ -5,10 +5,14 @@ does not implement (def.cuh:94-114: ``constant1``, ``iaw``, ``cs``, ``mach``,
 Model (standard ray-based CBET, honoring the reference's constants contract):
 
 * Each beam ``b`` carries a node intensity field ``I_b`` built from its rays'
-  per-step trilinear deposits of ``uray`` (the reference's ``absorption=0``
-  bookkeeping deposit, launch_ray_XZ.cu:307-311) — the discrete analog of the
+  per-step deposits of ``uray * |v| / c`` — the discrete analog of the
   per-cell crossing records the reference reserves capacity for
-  (``numstored``, def.cuh:94).
+  (``numstored``, def.cuh:94).  The |v|/c weight converts the bookkeeping sum
+  (which over-counts each cell by the ~c/(|v|*courant) steps a ray spends in
+  it) into the local beam intensity in W/cm^2: a full-power beam crossing a
+  cell yields I ~ ``intensity`` (1e14), growing toward the focus as the
+  spherical geometry converges — the scale at which ``constant1`` gives
+  physical gains of order 0.1-1 over the path.
 * Between two beams with unit propagation directions k̂_b, k̂_b' (equal
   frequencies — all OMEGA beams are 3ω), the ion-acoustic resonance parameter
   at a cell with radial flow û = r̂ is
@@ -73,11 +77,20 @@ def pair_couplings(beam_norm: np.ndarray, machnum: float) -> np.ndarray:
     return -machnum * unit                             # (B, B, 3)
 
 
+# intensity (W/cm^2) -> squared-field CGS units entering the CGS gain
+# prefactor constant1 (def.cuh:111): I[W/cm^2] * 1e7 -> erg/s/cm^2, * 8pi/c
+# -> statvolt^2/cm^2
+I_TO_FIELD_SQ = 8.0 * np.pi * 1.0e7 / k.C_CMS
+
+
 def gain_prefactor_field(cfg: Config, fields) -> np.ndarray:
-    """A(cell) = constant1 * (ne/ncrit)/sqrt(1-ne/ncrit), clipped below the
-    critical surface (rays turn before ncrit; the clip guards ghost regions)."""
-    frac = np.clip(fields.eden / k.NCRIT, 0.0, 0.99)
-    return k.CONSTANT1 * frac / np.sqrt(1.0 - frac)
+    """A(cell) = constant1 * (ne/ncrit)/sqrt(1-ne/ncrit) * (8pi 1e7/c).
+
+    ne/ncrit is capped at 0.95: the 1/sqrt(1-ne/nc) ion-acoustic response
+    diverges at the critical surface where the ray model breaks down anyway
+    (rays turn and absorb before nc); the cap keeps hotspot gains finite."""
+    frac = np.clip(fields.eden / k.NCRIT, 0.0, 0.95)
+    return k.CONSTANT1 * I_TO_FIELD_SQ * frac / np.sqrt(1.0 - frac)
 
 
 def resonance(eta: jnp.ndarray, iaw: float = k.IAW) -> jnp.ndarray:
@@ -125,7 +138,7 @@ def _node_rhat(cfg: Config) -> np.ndarray:
 def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        backend: str | None = None):
     """Jitted gain-aware trace:
-    ``(grad, absorb, gain (B,P), state0) -> (edep, intensity (B,P), state)``.
+    ``(field4, gain (B,P), state0) -> (edep, intensity (B,P), state)``.
 
     Extends the base integrator step with the multiplicative CBET gain and
     per-beam intensity accumulation (nearest-node bookkeeping deposit of
@@ -149,9 +162,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                   else cfg.edep_shape)
         from ..ops.pallas_deposit import finalize_edep
 
-        def trace(grad, absorb, gain, state0: rt.RayState):
+        def trace(field4, gain, state0: rt.RayState):
             dtype = state0.uray.dtype
             dvec = jnp.asarray(d, dtype)
+            inv_cdt = jnp.asarray(1.0 / (k.C_CMS * cfg.dt), dtype)
 
             def step(carry, _):
                 state, edep, ibeams, oflow = carry
@@ -162,15 +176,20 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
                               + (state.vel[1] * dvec[1]) ** 2
                               + (state.vel[2] * dvec[2]) ** 2)
-                factor = jnp.exp(g * ds)
+                # stability clamp on the per-step exponent: physical per-step
+                # gains are O(1e-3..3e-2); the clamp only engages at transient
+                # resonance hotspots during early fixed-point iterations
+                factor = jnp.exp(jnp.clip(g * ds, -0.1, 0.1))
                 uray = jnp.where(state.alive, state.uray * factor, state.uray)
-                state = rt.RayState(frac=state.frac, vel=state.vel, uray=uray,
+                state = rt.RayState(frac=state.frac, vel=state.vel,
+                                    kick=state.kick, uray=uray,
                                     uray_init=state.uray_init, cell=state.cell,
                                     alive=state.alive)
-                state, edep, of = base_step(state, edep, grad, absorb)
-                # per-beam intensity bookkeeping deposit (nearest node)
+                state, edep, of = base_step(state, edep, field4)
+                # per-beam local-intensity deposit (nearest node): uray * v/c
                 iflat = (state.cell[0] * ny + state.cell[1]) * nz + state.cell[2]
-                contrib = jnp.where(state.alive, state.uray, 0.0)
+                contrib = jnp.where(state.alive,
+                                    state.uray * (ds * inv_cdt), 0.0)
                 ibeams = ibeams.at[bid * P + iflat].add(contrib)
                 return (state, edep, ibeams, oflow + of), None
 
@@ -201,15 +220,14 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     nb = cfg.nbeams
     zero_gain = jnp.zeros((nb, P), jnp.dtype(cfg.dtype))
 
-    edep, intensity, state, oflow = trace(ctx.grad, ctx.absorb, zero_gain,
-                                          state0)
+    edep, intensity, state, oflow = trace(ctx.field4, zero_gain, state0)
     assert int(oflow) == 0
     history = []
     converged = False
     it = 0
     for it in range(1, cfg.cbet_max_iters + 1):
         gain = gain_fn(intensity.astype(jnp.float32)).astype(zero_gain.dtype)
-        edep, i_new, state, oflow = trace(ctx.grad, ctx.absorb, gain, state0)
+        edep, i_new, state, oflow = trace(ctx.field4, gain, state0)
         assert int(oflow) == 0
         scale = float(jnp.max(jnp.abs(intensity)))
         delta = float(jnp.max(jnp.abs(i_new - intensity))) / max(scale, 1e-300)

@@ -8,8 +8,10 @@ Replaces the reference's one-CUDA-thread-per-ray time loop
   spatially coherent through the whole trace — the property the Pallas
   deposition kernel exploits,
 * the 400-step time loop is a ``lax.scan`` in chunks,
-* the 8 per-step radial interpolations become 4 gathers from precomputed node
-  fields (see ``fields.py``),
+* the 8 per-step radial interpolations become ONE interleaved row-gather
+  from precomputed node fields (see ``fields.py``; the gradient kick is
+  carried one step in the ray state so absorption + next-step kick share the
+  same gather),
 * deposition is either the Pallas tile-box kernel (TPU,
   ``ops/pallas_deposit.py``) or a vectorized XLA scatter-add (CPU/tests),
 * early ray termination (the CUDA ``break``, launch_ray_XZ.cu:351-356)
@@ -55,6 +57,8 @@ class RayState:
 
     frac: tuple     # (fx, fy, fz) position relative to the cell node, grid units
     vel: tuple      # (vx, vy, vz) displacement per step, grid units
+    kick: tuple     # (kx, ky, kz) gradient kick at the current cell — carried
+                    # from the previous step's single row-gather (see step fn)
     uray: jnp.ndarray       # (N,) ray energy
     uray_init: jnp.ndarray  # (N,) launch energy (for the 5% stop rule)
     cell: tuple     # (cx, cy, cz) int32 current cell
@@ -130,8 +134,7 @@ class TraceContext:
     fields: Fields               # float64 node fields
     rays: RayInit                # float64 launch state (nbeams, nrays, ...)
     layout: TileLayout
-    grad: tuple                  # 3 x (P,) per-axis kick fields, compute dtype
-    absorb: jnp.ndarray          # (P,) absorption coefficient field
+    field4: jnp.ndarray          # (P, 4) interleaved kick_x/y/z + absorb fields
     state0: RayState             # tile-ordered (n_slots,) initial state
     beam_id: np.ndarray          # (n_slots,) int32 beam of each slot (-1 padding)
 
@@ -152,11 +155,13 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     d = np.array([cfg.dx, cfg.dy, cfg.dz])
     origin = np.array([cfg.xmin, cfg.ymin, cfg.zmin])
 
-    # hot fields as separate 1-D arrays: per-axis displacement kick per step
-    # (grid units: fgrad [cm/s] * dt / d) and the absorption coefficient
-    kick = fields.fgrad * cfg.dt / d          # (nx,ny,nz,3)
-    grad = tuple(jnp.asarray(kick[..., ax].reshape(-1), dtype) for ax in range(3))
-    absorb = jnp.asarray(fields.absorb.reshape(-1), dtype)
+    # hot fields interleaved as (P, 4) rows [kick_x, kick_y, kick_z, absorb]
+    # so the per-step lookup is ONE row-gather (TPU dynamic gather costs are
+    # per-row: one 4-wide row costs ~2x one scalar, vs 4x for split gathers)
+    kick = fields.fgrad * cfg.dt / d          # (nx,ny,nz,3) grid units/step
+    f4 = np.concatenate([kick.reshape(-1, 3),
+                         fields.absorb.reshape(-1, 1)], axis=1)
+    field4 = jnp.asarray(f4, dtype)
 
     # --- initial ray state (float64 on host, cast once) ---
     pos = rays.pos.reshape(-1, 3)                     # (nbeams*nrays, 3) cm
@@ -182,9 +187,11 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
         return out
 
     frac0 = t0 - cell0
+    kick0 = f4[flat0, :3]        # gradient kick at the launch cell (step 0)
     state0 = RayState(
         frac=tuple(jnp.asarray(to_slots(frac0[:, ax]), dtype) for ax in range(3)),
         vel=tuple(jnp.asarray(to_slots(vel0[:, ax]), dtype) for ax in range(3)),
+        kick=tuple(jnp.asarray(to_slots(kick0[:, ax]), dtype) for ax in range(3)),
         uray=jnp.asarray(to_slots(rays.uray.reshape(-1)), dtype),
         # padding slots get uray_init=1 to keep the 5% stop rule well-defined
         uray_init=jnp.asarray(to_slots(rays.uray.reshape(-1), fill=1.0), dtype),
@@ -194,7 +201,7 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     beam_id = np.full((ns,), -1, np.int32)
     beam_id[slots] = ray_beam
     return TraceContext(cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields,
-                        rays=rays, layout=layout, grad=grad, absorb=absorb,
+                        rays=rays, layout=layout, field4=field4,
                         state0=state0, beam_id=beam_id)
 
 
@@ -204,6 +211,7 @@ def select_rays(state: RayState, indices: np.ndarray) -> RayState:
     return RayState(
         frac=tuple(a[idx] for a in state.frac),
         vel=tuple(a[idx] for a in state.vel),
+        kick=tuple(a[idx] for a in state.kick),
         uray=state.uray[idx], uray_init=state.uray_init[idx],
         cell=tuple(a[idx] for a in state.cell),
         alive=state.alive[idx],
@@ -284,11 +292,12 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
                                          tiles_per_block=cfg.tiles_per_block,
                                          interpret=backend == "pallas_interpret")
 
-    def step(state: RayState, edep3d: jnp.ndarray, grad, absorb):
+    def step(state: RayState, edep3d: jnp.ndarray, field4: jnp.ndarray):
         dtype = state.uray.dtype
-        cx, cy, cz = state.cell
-        flat = (cx * ny + cy) * nz + cz
-        vel = tuple(state.vel[ax] - grad[ax][flat] for ax in range(3))
+        # the gradient kick at the current cell was row-gathered by the
+        # previous step (launch_ray_XZ.cu:254-270 evaluates the stencil at the
+        # loop-entry cell — exactly the carried value)
+        vel = tuple(state.vel[ax] - state.kick[ax] for ax in range(3))
         frac = tuple(state.frac[ax] + vel[ax] for ax in range(3))
 
         dsel = tuple(_reindex_axis(state.cell[ax], frac[ax], nvec[ax], tol)
@@ -296,10 +305,14 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
         cell = tuple(state.cell[ax] + dsel[ax] for ax in range(3))
         frac = tuple(frac[ax] - dsel[ax].astype(dtype) for ax in range(3))
 
-        # absorption at the *new* cell's node (launch_ray_XZ.cu:296-311)
+        # THE one gather of the step: kick (for the next step) + absorption
+        # coefficient (launch_ray_XZ.cu:296-311, at the *new* cell's node) in
+        # a single interleaved row
         flat2 = (cell[0] * ny + cell[1]) * nz + cell[2]
+        rows = jnp.take(field4, flat2, axis=0)          # (N, 4)
+        kick = tuple(rows[:, ax] for ax in range(3))
         if absorption:
-            increment = absorb[flat2] * state.uray
+            increment = rows[:, 3] * state.uray
             uray = state.uray - increment
         else:
             increment = state.uray
@@ -326,6 +339,7 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
         new_state = RayState(
             frac=tuple(jnp.where(keep, frac[ax], state.frac[ax]) for ax in range(3)),
             vel=tuple(jnp.where(keep, vel[ax], state.vel[ax]) for ax in range(3)),
+            kick=tuple(jnp.where(keep, kick[ax], state.kick[ax]) for ax in range(3)),
             uray=jnp.where(keep, uray, state.uray),
             uray_init=state.uray_init,
             cell=tuple(jnp.where(keep, cell[ax], state.cell[ax]) for ax in range(3)),
@@ -338,7 +352,7 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
 
 def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     """Build the jittable full-trace function
-    ``(grad, absorb, state0) -> (edep, final_state, overflow)``.
+    ``(field4, state0) -> (edep, final_state, overflow)``.
 
     Runs ``nt`` steps as an outer scan over chunks of ``chunk_steps``; each
     chunk accumulates deposits in float32 and promotes into an ``edep_dtype``
@@ -356,16 +370,19 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     n_chunks = -(-cfg.nt // chunk)          # ceil
     last_chunk = cfg.nt - (n_chunks - 1) * chunk
 
-    def trace(grad, absorb, state0: RayState):
+    def trace(field4, state0: RayState):
         compute_dtype = state0.uray.dtype
-        master = jnp.zeros(shape3, jnp.dtype(cfg.edep_dtype))
+        # canonicalize: float64 silently degrades to float32 when x64 is off
+        # (e.g. on TPU); chunked accumulation keeps the error bounded anyway
+        master_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype))
+        master = jnp.zeros(shape3, master_dtype)
 
         def chunk_body(carry, steps_in_chunk):
             state, master, oflow = carry
 
             def inner(carry2, _):
                 state2, edep32, of2 = carry2
-                state2, edep32, of_step = step(state2, edep32, grad, absorb)
+                state2, edep32, of_step = step(state2, edep32, field4)
                 return (state2, edep32, of2 + of_step), None
 
             edep32 = jnp.zeros(shape3, compute_dtype)
@@ -403,7 +420,7 @@ def trace(ctx: TraceContext, backend: str | None = None):
     fn = jax.jit(make_trace_fn(ctx.cfg, ctx.layout.rays_per_tile, backend))
     state0 = pad_rays(ctx.state0,
                       ctx.layout.rays_per_tile * ctx.cfg.tiles_per_block)
-    edep, state, oflow = fn(ctx.grad, ctx.absorb, state0)
+    edep, state, oflow = fn(ctx.field4, state0)
     assert int(oflow) == 0, f"deposit box overflow: {int(oflow)} deposits lost"
     return np.asarray(jax.device_get(edep), dtype=np.float64), state
 
@@ -413,9 +430,11 @@ def trace_stats(ctx: TraceContext, state: RayState) -> dict[str, Any]:
     accounting and energy bookkeeping."""
     launched_mask = np.asarray(ctx.state0.alive)
     launched = int(launched_mask.sum())
-    alive_end = int(np.asarray(state.alive).sum())
-    uray = np.asarray(state.uray, np.float64)
-    uinit = np.asarray(state.uray_init, np.float64)
+    ns = launched_mask.shape[0]
+    # the traced state may carry extra padding slots (all dead) — drop them
+    alive_end = int(np.asarray(state.alive)[:ns].sum())
+    uray = np.asarray(state.uray, np.float64)[:ns]
+    uinit = np.asarray(state.uray_init, np.float64)[:ns]
     absorbed = float(np.sum((uinit - uray)[launched_mask]))
     return {
         "rays_total": int(ctx.cfg.total_rays),

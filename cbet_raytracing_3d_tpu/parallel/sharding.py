@@ -50,6 +50,7 @@ def pad_rays(state: RayState, multiple: int) -> RayState:
     return RayState(
         frac=tuple(pad0(a) for a in state.frac),
         vel=tuple(pad0(a) for a in state.vel),
+        kick=tuple(pad0(a) for a in state.kick),
         uray=pad0(state.uray),
         # avoid 0 <= stop_frac*0 edge cases in the termination rule
         uray_init=pad0(state.uray_init, fill=1),
@@ -61,15 +62,15 @@ def pad_rays(state: RayState, multiple: int) -> RayState:
 def make_sharded_trace_fn(cfg: Config, mesh: Mesh, rays_per_tile: int,
                           backend: str | None = None):
     """Jitted multi-device trace:
-    ``(grad, absorb, state0) -> (edep, state, overflow)``.
+    ``(field4, state0) -> (edep, state, overflow)``.
 
     ``state0``'s slot axis must be divisible by mesh size * rays_per_tile
     (see ``pad_rays``).  The deposition grid is psum-reduced over ICI; the
     returned ``edep`` is replicated, the ray state stays sharded."""
     trace1 = make_trace_fn(cfg, rays_per_tile, backend)
 
-    def local_trace(grad, absorb, state0):
-        edep, state, oflow = trace1(grad, absorb, state0)
+    def local_trace(field4, state0):
+        edep, state, oflow = trace1(field4, state0)
         return (jax.lax.psum(edep, AXIS), state, jax.lax.psum(oflow, AXIS))
 
     # check_vma=False: the per-device edep accumulator starts as a replicated
@@ -79,7 +80,7 @@ def make_sharded_trace_fn(cfg: Config, mesh: Mesh, rays_per_tile: int,
     sharded = jax.shard_map(
         local_trace,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS)),
+        in_specs=(P(), P(AXIS)),
         out_specs=(P(), P(AXIS), P()),
         check_vma=False,
     )
@@ -95,6 +96,6 @@ def run_sharded(ctx: TraceContext, mesh: Mesh | None = None,
     state0 = pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
                       * ctx.cfg.tiles_per_block)
     fn = make_sharded_trace_fn(ctx.cfg, mesh, ctx.layout.rays_per_tile, backend)
-    edep, state, oflow = fn(ctx.grad, ctx.absorb, state0)
+    edep, state, oflow = fn(ctx.field4, state0)
     assert int(oflow) == 0, f"deposit box overflow: {int(oflow)} deposits lost"
     return np.asarray(jax.device_get(edep), dtype=np.float64), state

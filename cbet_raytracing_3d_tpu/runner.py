@@ -49,7 +49,7 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         # device placement of the small replicated inputs happens on first call
 
     with timers.phase("Tracing"):
-        edep_dev, state, oflow = fn(ctx.grad, ctx.absorb, state0)
+        edep_dev, state, oflow = fn(ctx.field4, state0)
         # Combining (psum over ICI) happens inside the jitted fn; the fence +
         # host download is what remains
     with timers.phase("Combining"):

@@ -1,0 +1,78 @@
+"""CBET stage tests (models/cbet.py) — the capability the reference only
+scaffolds (def.cuh:94-114).  BASELINE config 2: two crossing beams on the
+coarse reference grid, single host."""
+
+import numpy as np
+import pytest
+
+from cbet_raytracing_3d_tpu import constants as k
+from cbet_raytracing_3d_tpu.config import Config
+from cbet_raytracing_3d_tpu.models import raytracer as rt
+from cbet_raytracing_3d_tpu.models.cbet import (cbet_solve, make_gain_fn,
+                                                pair_couplings, resonance)
+
+
+@pytest.fixture(scope="module")
+def two_beam_cfg():
+    # coarse grid + sparse rays keep the CPU fixed point fast
+    return Config(nbeams=2, rays_per_zone=1, nx=40, ny=40, nz=40,
+                  cbet_max_iters=12, cbet_tol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def two_beam_ctx(two_beam_cfg, profiles):
+    return rt.prepare(two_beam_cfg, profiles)
+
+
+def test_resonance_function_properties():
+    """P(eta) = iaw^2 eta / ((eta^2-1)^2 + iaw^2 eta^2): odd, peaked at
+    |eta| ~ 1, P(0) = 0."""
+    eta = np.linspace(-2, 2, 401)
+    p = np.asarray(resonance(eta))
+    np.testing.assert_allclose(p, -p[::-1], atol=1e-12)      # odd
+    assert p[200] == 0.0                                     # P(0)=0
+    peak = np.abs(p).max()
+    at = np.abs(eta[np.abs(p).argmax()])
+    assert 0.9 < at < 1.1
+    np.testing.assert_allclose(peak, 1.0, rtol=0.05)  # P(+-1) = 1 exactly
+
+
+def test_pair_couplings_antisymmetric():
+    bn = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    u = pair_couplings(bn, machnum=k.MACH)
+    np.testing.assert_allclose(u, -np.transpose(u, (1, 0, 2)), atol=1e-12)
+    np.testing.assert_allclose(u[0, 0], 0.0)
+
+
+def test_gain_fields_zero_without_intensity(two_beam_cfg, two_beam_ctx):
+    import jax.numpy as jnp
+    gain_fn = make_gain_fn(two_beam_cfg, two_beam_ctx)
+    P = two_beam_cfg.nx * two_beam_cfg.ny * two_beam_cfg.nz
+    g = gain_fn(jnp.zeros((2, P), jnp.float32))
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_cbet_two_beam_fixed_point(two_beam_cfg, two_beam_ctx):
+    """BASELINE config 2: the fixed point converges and redistributes energy
+    between the two crossing beams while keeping totals sane."""
+    res = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")
+    assert res.converged, f"CBET did not converge: {res.history}"
+    assert res.iterations <= two_beam_cfg.cbet_max_iters
+    # monotone-ish convergence: last delta much smaller than first
+    assert res.history[-1] < res.history[0]
+    assert np.isfinite(res.edep).all()
+    assert res.edep.sum() > 0
+    # intensity fields exist for both beams and overlap somewhere
+    i0, i1 = res.intensity[0], res.intensity[1]
+    assert i0.sum() > 0 and i1.sum() > 0
+    assert ((i0 > 0) & (i1 > 0)).sum() > 0, "beams never overlap"
+
+
+def test_cbet_actually_transfers_energy(two_beam_cfg, two_beam_ctx):
+    """With coupling on, the deposition differs from the uncoupled trace."""
+    res = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")
+    edep0, _ = rt.trace(two_beam_ctx, backend="scatter")
+    rel = np.abs(res.edep - edep0).max() / edep0.max()
+    assert rel > 1e-6, "CBET had no effect"
+    # ... but remains a perturbation, not a blow-up
+    assert res.edep.sum() < 10 * edep0.sum()

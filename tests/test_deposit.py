@@ -96,7 +96,9 @@ def test_pallas_matches_scatter_coherent_tiles(rng):
     got, oflow = _run_pallas(cell, frac, inc, rpt)
     assert oflow == 0
     want = _run_scatter(cell, frac, inc)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6 * want.max())
+    # kernel weights are bf16 (hi/lo value split): ~2^-9 per-deposit error,
+    # unaveraged here because each node receives only a few deposits
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=3e-3 * want.max())
 
 
 def test_pallas_dead_rays_ignored(rng):
@@ -115,7 +117,7 @@ def test_pallas_dead_rays_ignored(rng):
     assert oflow == 0
     keep = ~poison
     want = _run_scatter([c[keep] for c in cell], [f[keep] for f in frac], inc[keep])
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6 * max(want.max(), 1))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=3e-3 * max(want.max(), 1))
 
 
 def test_pallas_overflow_detection(rng):

@@ -33,11 +33,11 @@ def test_sharded_matches_single_device(small_ctx):
 
     rpt = ctx.layout.rays_per_tile
     single = jax.jit(rt.make_trace_fn(ctx.cfg, rpt))
-    edep1, _, _ = single(ctx.grad, ctx.absorb, state0)
+    edep1, _, _ = single(ctx.field4, state0)
 
     mesh = sh.make_mesh()
     fn = sh.make_sharded_trace_fn(ctx.cfg, mesh, rpt)
-    edep8, state8, _ = fn(ctx.grad, ctx.absorb, sh.pad_rays(state0, 8))
+    edep8, state8, _ = fn(ctx.field4, sh.pad_rays(state0, 8))
 
     np.testing.assert_allclose(np.asarray(edep8), np.asarray(edep1),
                                rtol=1e-12, atol=0)
@@ -53,10 +53,10 @@ def test_pad_rays_are_inert(small_ctx):
     rpt = ctx.layout.rays_per_tile
     mesh = sh.make_mesh()
     fn = sh.make_sharded_trace_fn(ctx.cfg, mesh, rpt)
-    edep, _, _ = fn(ctx.grad, ctx.absorb, padded)
+    edep, _, _ = fn(ctx.field4, padded)
 
     single = jax.jit(rt.make_trace_fn(ctx.cfg, rpt))
-    edep1, _, _ = single(ctx.grad, ctx.absorb, state0)
+    edep1, _, _ = single(ctx.field4, state0)
     np.testing.assert_allclose(np.asarray(edep), np.asarray(edep1),
                                rtol=1e-12, atol=0)
 
@@ -70,5 +70,5 @@ def test_uneven_beam_count_devices(small_ctx):
     for ndev in (1, 2, 4, 8):
         mesh = sh.make_mesh(jax.devices()[:ndev])
         fn = sh.make_sharded_trace_fn(ctx.cfg, mesh, rpt)
-        edep, _, _ = fn(ctx.grad, ctx.absorb, sh.pad_rays(state0, ndev))
+        edep, _, _ = fn(ctx.field4, sh.pad_rays(state0, ndev))
         assert np.isfinite(np.asarray(edep)).all()

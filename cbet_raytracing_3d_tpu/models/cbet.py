@@ -59,7 +59,7 @@ from . import raytracer as rt
 @dataclasses.dataclass
 class CbetResult:
     edep: np.ndarray          # ghost-padded deposition with CBET-coupled rays
-    intensity: np.ndarray     # (nbeams, nx+2, ny+2, nz+2) final fields
+    intensity: np.ndarray     # (nbeams, nx, ny, nz) final node intensity fields
     iterations: int
     converged: bool
     history: list             # per-iteration relative field change
@@ -141,8 +141,9 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     ``(field4, gain (B,P), state0) -> (edep, intensity (B,P), state)``.
 
     Extends the base integrator step with the multiplicative CBET gain and
-    per-beam intensity accumulation (nearest-node bookkeeping deposit of
-    ``uray``, the crossing-record analog)."""
+    per-beam intensity accumulation (trilinear deposit of ``uray*|v|/c`` —
+    the crossing-record analog) via the grouped Pallas kernel (one grid per
+    beam) or an offset scatter."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     if backend is None:
         backend = rt.resolve_deposit_backend(cfg)
@@ -154,13 +155,21 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     # per-slot beam id (padding slots get 0 but are permanently dead)
     beam_of_slot = np.maximum(ctx.beam_id, 0).astype(np.int32)
 
+    pallas = backend in ("pallas", "pallas_interpret")
+    from ..ops.pallas_deposit import ZLANES, finalize_edep, make_tile_deposit
+
+    if pallas:
+        ideposit = make_tile_deposit(
+            nx, ny, nz, ctx.layout.rays_per_tile, box=cfg.deposit_box,
+            tiles_per_block=cfg.tiles_per_block, n_groups=nb,
+            tiles_per_group=ctx.layout.tiles_per_beam,
+            interpret=backend == "pallas_interpret")
+
     def make(pad_slots: int):
         bid = jnp.asarray(
             np.pad(beam_of_slot, (0, pad_slots - beam_of_slot.shape[0])))
-        shape3 = ((cfg.nx + 2, cfg.ny + 2, 128)
-                  if backend in ("pallas", "pallas_interpret")
-                  else cfg.edep_shape)
-        from ..ops.pallas_deposit import finalize_edep
+        shape3 = (cfg.nx + 2, cfg.ny + 2, ZLANES) if pallas else cfg.edep_shape
+        ishape = (nb,) + shape3
 
         def trace(field4, gain, state0: rt.RayState):
             dtype = state0.uray.dtype
@@ -186,24 +195,42 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                     uray_init=state.uray_init, cell=state.cell,
                                     alive=state.alive)
                 state, edep, of = base_step(state, edep, field4)
-                # per-beam local-intensity deposit (nearest node): uray * v/c
-                iflat = (state.cell[0] * ny + state.cell[1]) * nz + state.cell[2]
+                # per-beam local-intensity deposit (trilinear, same corner
+                # scheme as edep): uray * v/c -> W/cm^2-scale fields
                 contrib = jnp.where(state.alive,
-                                    state.uray * (ds * inv_cdt), 0.0)
-                ibeams = ibeams.at[bid * P + iflat].add(contrib)
+                                    state.uray * (ds * inv_cdt),
+                                    jnp.asarray(0.0, dtype))
+                if pallas:
+                    ibeams, of_i = ideposit(ibeams, *state.cell, *state.frac,
+                                            contrib)
+                    of = of + of_i
+                else:
+                    # one scatter into the per-beam grids via beam offsets
+                    idx, val = rt._scatter_corner_parts(
+                        cfg, state.cell, state.frac, contrib)
+                    grid_elems = (cfg.nx + 2) * (cfg.ny + 2) * (cfg.nz + 2)
+                    off = jnp.concatenate([bid * grid_elems] * 8)
+                    flat_i = ibeams.reshape(-1).at[idx + off].add(val)
+                    ibeams = flat_i.reshape(ibeams.shape)
                 return (state, edep, ibeams, oflow + of), None
 
             edep0 = jnp.zeros(shape3, dtype)
-            ib0 = jnp.zeros((nb * P,), dtype)
+            ib0 = jnp.zeros(ishape, jnp.float32 if pallas else dtype)
             (state, edep, ibeams, oflow), _ = jax.lax.scan(
                 step, (state0, edep0, ib0, jnp.int32(0)), None, length=cfg.nt)
-            if backend in ("pallas", "pallas_interpret"):
+            if pallas:
                 edep = finalize_edep(edep, cfg.nz)
-            return edep, ibeams.reshape(nb, P), state, oflow
+                ibeams = finalize_edep(ibeams, cfg.nz)
+            # crop ghosts -> per-beam node fields (B, P)
+            inodes = ibeams[:, 1:-1, 1:-1, 1:cfg.nz + 1].reshape(nb, P)
+            return edep, inodes, state, oflow
 
         return trace
 
     return make
+
+
+
 
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,

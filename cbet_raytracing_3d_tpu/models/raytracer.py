@@ -106,7 +106,11 @@ def build_tile_layout(cfg: Config) -> TileLayout:
     side = tz * rpz                       # rays per tile edge (16)
     rays_per_tile = side * side           # 256
     ntiles_axis = -(-zones // tz)         # ceil
-    tiles_per_beam = ntiles_axis * ntiles_axis
+    # pad per-beam tile count to the Pallas block size so per-beam grouping
+    # (CBET intensity fields) and device sharding stay block-aligned; the
+    # padding tiles are permanently dead (skipped by the kernel)
+    tpb = ntiles_axis * ntiles_axis
+    tiles_per_beam = -(-tpb // cfg.tiles_per_block) * cfg.tiles_per_block
 
     kk = np.arange(cfg.nrays, dtype=np.int64)
     b1, b2 = kk // (rpz * rpz), kk % (rpz * rpz)
@@ -236,8 +240,8 @@ def _reindex_axis(cell, frac, n: int, tol: float):
     return dsel
 
 
-def _scatter_deposit(cfg: Config, edep3d, cell, frac, inc):
-    """XLA scatter-add backend (CPU / fallback): one (8N,) 1-D scatter.
+def _scatter_corner_parts(cfg: Config, cell, frac, inc):
+    """Flattened (8N,) corner indices/values for the XLA scatter backend.
 
     Transcribes the trilinear corner scheme (launch_ray_XZ.cu:319-348)."""
     nyp, nzp = cfg.ny + 2, cfg.nz + 2
@@ -260,8 +264,12 @@ def _scatter_deposit(cfg: Config, edep3d, cell, frac, inc):
                 oz = soff[2] if ax_z else 0
                 idxs.append(base + ox + oy + oz)
                 vals.append(wx * wy * wz * inc)
-    idx = jnp.concatenate(idxs)
-    val = jnp.concatenate(vals).astype(dtype)
+    return jnp.concatenate(idxs), jnp.concatenate(vals).astype(dtype)
+
+
+def _scatter_deposit(cfg: Config, edep3d, cell, frac, inc):
+    """XLA scatter-add backend (CPU / fallback): one (8N,) 1-D scatter."""
+    idx, val = _scatter_corner_parts(cfg, cell, frac, inc)
     flat = edep3d.reshape(-1).at[idx].add(val)
     return flat.reshape(edep3d.shape)
 

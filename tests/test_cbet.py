@@ -76,3 +76,29 @@ def test_cbet_actually_transfers_energy(two_beam_cfg, two_beam_ctx):
     assert rel > 1e-6, "CBET had no effect"
     # ... but remains a perturbation, not a blow-up
     assert res.edep.sum() < 10 * edep0.sum()
+
+
+def test_cbet_pallas_intensity_matches_scatter(two_beam_cfg, two_beam_ctx, profiles):
+    """The grouped Pallas intensity deposit must agree with the offset-scatter
+    path through one full gain-aware trace."""
+    import jax
+    import jax.numpy as jnp
+    from cbet_raytracing_3d_tpu.models.cbet import make_cbet_trace_fn
+    from cbet_raytracing_3d_tpu.parallel.sharding import pad_rays
+
+    cfg = two_beam_cfg.replace(tiles_per_block=1, dtype="float32")
+    ctx = rt.prepare(cfg, profiles)
+    state0 = pad_rays(ctx.state0, ctx.layout.rays_per_tile)
+    P = cfg.nx * cfg.ny * cfg.nz
+    zero_gain = jnp.zeros((2, P), jnp.float32)
+
+    tr_s = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="scatter")(state0.n))
+    e_s, i_s, _, _ = tr_s(ctx.field4, zero_gain, state0)
+    tr_p = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="pallas_interpret")(state0.n))
+    e_p, i_p, _, of = tr_p(ctx.field4, zero_gain, state0)
+    assert int(of) == 0
+
+    i_s, i_p = np.asarray(i_s, np.float64), np.asarray(i_p, np.float64)
+    rel_l2 = np.linalg.norm(i_p - i_s) / max(np.linalg.norm(i_s), 1e-300)
+    assert rel_l2 < 2e-3, rel_l2     # bf16 kernel weights on a sparse sample
+    np.testing.assert_allclose(i_p.sum(), i_s.sum(), rtol=1e-3)

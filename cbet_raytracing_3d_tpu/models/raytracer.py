@@ -421,6 +421,43 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     return trace
 
 
+def make_chunk_fn(cfg: Config, rays_per_tile: int, n_steps: int,
+                  backend: str | None = None):
+    """Jittable single-chunk advance for resumable tracing:
+    ``(field4, state, master, oflow) -> (state, master, oflow)``."""
+    if backend is None:
+        backend = resolve_deposit_backend(cfg)
+    step = make_step_fn(cfg, rays_per_tile, backend)
+    pallas = backend in ("pallas", "pallas_interpret")
+    shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
+              else (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2))
+
+    def chunk(field4, state: RayState, master, oflow):
+        edep32 = jnp.zeros(shape3, state.uray.dtype)
+
+        def inner(carry, _):
+            st, e, of = carry
+            st, e, o = step(st, e, field4)
+            return (st, e, of + o), None
+
+        (state, edep32, oflow), _ = jax.lax.scan(
+            inner, (state, edep32, oflow), None, length=n_steps)
+        return state, master + edep32.astype(master.dtype), oflow
+
+    return chunk
+
+
+def trace_shapes(cfg: Config, backend: str | None = None):
+    """(master grid shape, finalize fn) for the resolved backend."""
+    if backend is None:
+        backend = resolve_deposit_backend(cfg)
+    pallas = backend in ("pallas", "pallas_interpret")
+    if pallas:
+        return (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz),
+                lambda e: finalize_edep(e, cfg.nz))
+    return (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2), (lambda e: e)
+
+
 def trace(ctx: TraceContext, backend: str | None = None):
     """Convenience single-device full trace.  Returns (edep [np.f64 padded],
     final RayState)."""

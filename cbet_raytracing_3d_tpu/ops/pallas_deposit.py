@@ -192,9 +192,13 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         kern = functools.partial(_kernel, bx=bx, byk=byk, bz=bz, nxp=nxp,
                                  nyp=nyp, nzp=nzp, tb=tb, tiles_per_group=tpg)
         if grouped:
+            # single-buffer the group grids: default double buffering holds
+            # 2x(in+out) ~21 MB of VMEM and OOMs; the block changes only every
+            # tiles_per_group/tb grid steps so pipelining it buys nothing
             gspec = pl.BlockSpec((1, nxp, nyp, ZLANES),
                                  lambda i: (i * tb // tpg, 0, 0, 0),
-                                 memory_space=pltpu.VMEM)
+                                 memory_space=pltpu.VMEM,
+                                 pipeline_mode=pl.Buffered(buffer_count=1))
         else:
             gspec = pl.BlockSpec((nxp, nyp, ZLANES), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)

@@ -77,6 +77,64 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
                      cbet=cbet_result)
 
 
+def run_resumable(cfg: Config, *, checkpoint_path: str,
+                  checkpoint_every: int = 4, resume: bool = False,
+                  backend: str | None = None, verbose: bool = True) -> RunResult:
+    """Single-device trace with chunk-granular checkpointing (SURVEY.md §5.4
+    — an aux capability the reference lacks).  Interrupt-safe: re-invoke with
+    ``resume=True`` to continue from the last saved chunk."""
+    import jax.numpy as jnp
+
+    from .models.raytracer import make_chunk_fn, trace_shapes
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+    timers = PhaseTimers()
+    with timers.phase("Init"):
+        ctx = rt.prepare(cfg)
+        state = sh.pad_rays(ctx.state0,
+                            ctx.layout.rays_per_tile * cfg.tiles_per_block)
+        chunk = max(1, min(cfg.chunk_steps, cfg.nt))
+        n_chunks = -(-cfg.nt // chunk)
+        last_len = cfg.nt - (n_chunks - 1) * chunk
+        fn_full = jax.jit(make_chunk_fn(cfg, ctx.layout.rays_per_tile, chunk,
+                                        backend))
+        fn_last = (fn_full if last_len == chunk else
+                   jax.jit(make_chunk_fn(cfg, ctx.layout.rays_per_tile,
+                                         last_len, backend)))
+        mshape, finalize = trace_shapes(cfg, backend)
+        master = jnp.zeros(mshape, jax.dtypes.canonicalize_dtype(
+            jnp.dtype(cfg.edep_dtype)))
+        oflow = jnp.int32(0)
+        start_chunk = 0
+        if resume:
+            start_chunk, master, state, of0 = load_checkpoint(
+                checkpoint_path, cfg)
+            oflow = jnp.int32(of0)
+            if verbose:
+                print(f"resumed at chunk {start_chunk}/{n_chunks}",
+                      file=sys.stderr)
+
+    with timers.phase("Tracing"):
+        for ci in range(start_chunk, n_chunks):
+            fn = fn_last if ci == n_chunks - 1 else fn_full
+            state, master, oflow = fn(ctx.field4, state, master, oflow)
+            if (ci + 1) % checkpoint_every == 0 or ci == n_chunks - 1:
+                jax.device_get(oflow)   # fence before writing
+                save_checkpoint(checkpoint_path, cfg, ci + 1, master, state,
+                                int(jax.device_get(oflow)))
+    with timers.phase("Combining"):
+        edep = np.asarray(jax.device_get(finalize(master)), np.float64)
+        of = int(jax.device_get(oflow))
+    if of:
+        raise RuntimeError(f"deposit box overflow: {of}")
+
+    stats = rt.trace_stats(ctx, state)
+    stats["edep_total"] = float(edep.sum())
+    if verbose:
+        print(timers.report(), file=sys.stderr)
+    return RunResult(cfg=cfg, edep=edep, stats=stats, timings=timers.as_dict())
+
+
 def write_outputs(res: RunResult, outdir: str, formats: tuple[str, ...] = ("npz",),
                   basename: str = "edep") -> list[str]:
     os.makedirs(outdir, exist_ok=True)

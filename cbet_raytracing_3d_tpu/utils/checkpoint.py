@@ -1,0 +1,69 @@
+"""Checkpoint / resume for long traces (SURVEY.md §5.4 — the reference has
+none; runs are one-shot).
+
+A trace checkpoints at scan-chunk granularity: the master deposition grid,
+the full ray state, the chunk index, and a config fingerprint are written to
+a single ``.npz``.  ``resume`` reconstructs the ray state and continues the
+remaining chunks.  Used by ``runner.run_resumable``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.raytracer import RayState
+
+FORMAT_VERSION = 1
+
+
+def config_fingerprint(cfg: Config) -> str:
+    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def save_checkpoint(path: str, cfg: Config, chunk_index: int,
+                    master, state: RayState, oflow: int) -> None:
+    np.savez_compressed(
+        path,
+        format_version=FORMAT_VERSION,
+        fingerprint=config_fingerprint(cfg),
+        chunk_index=chunk_index,
+        master=np.asarray(master),
+        oflow=int(oflow),
+        frac=np.stack([np.asarray(a) for a in state.frac]),
+        vel=np.stack([np.asarray(a) for a in state.vel]),
+        kick=np.stack([np.asarray(a) for a in state.kick]),
+        uray=np.asarray(state.uray),
+        uray_init=np.asarray(state.uray_init),
+        cell=np.stack([np.asarray(a) for a in state.cell]),
+        alive=np.asarray(state.alive),
+    )
+
+
+def load_checkpoint(path: str, cfg: Config):
+    """Returns (chunk_index, master, RayState, oflow); validates the config
+    fingerprint so a checkpoint can't silently resume a different run."""
+    data = np.load(path)
+    if int(data["format_version"]) != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version: {data['format_version']}")
+    fp = str(data["fingerprint"])
+    if fp != config_fingerprint(cfg):
+        raise ValueError(
+            f"checkpoint config fingerprint {fp} does not match the current "
+            f"config {config_fingerprint(cfg)}")
+    state = RayState(
+        frac=tuple(jnp.asarray(data["frac"][i]) for i in range(3)),
+        vel=tuple(jnp.asarray(data["vel"][i]) for i in range(3)),
+        kick=tuple(jnp.asarray(data["kick"][i]) for i in range(3)),
+        uray=jnp.asarray(data["uray"]),
+        uray_init=jnp.asarray(data["uray_init"]),
+        cell=tuple(jnp.asarray(data["cell"][i]) for i in range(3)),
+        alive=jnp.asarray(data["alive"]),
+    )
+    return int(data["chunk_index"]), jnp.asarray(data["master"]), state, int(data["oflow"])

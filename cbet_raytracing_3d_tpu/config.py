@@ -83,8 +83,19 @@ class Config:
     # tests), or "auto" (pallas on accelerators when nz+2 <= 128)
     deposit_backend: Literal["auto", "pallas", "scatter", "pallas_interpret"] = "auto"
     tile_zones: int = 4               # launch-tile edge in zones (4 -> 256 rays/tile)
-    deposit_box: int = 32             # Pallas deposit box edge (cells)
+    # Pallas deposit box edges (x, y, z): must cover a tile's whole-trace
+    # bounding extent +2 (measured max per-axis extents [23, 23, 26] for
+    # 4x4-zone tiles on the reference scene; the y box is widened +8
+    # internally for sublane alignment).  Box violations are *counted* and
+    # raise — never silently dropped.
+    deposit_box_x: int = 32
+    deposit_box_y: int = 32
+    deposit_box_z: int = 32
     tiles_per_block: int = 8          # tiles per Pallas grid step (overhead amortization)
+
+    @property
+    def deposit_box(self) -> tuple:
+        return (self.deposit_box_x, self.deposit_box_y, self.deposit_box_z)
 
     # ===== derived quantities (formulas identical to def.cuh) =====
     @property

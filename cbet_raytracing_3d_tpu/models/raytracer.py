@@ -399,14 +399,22 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
                 return jax.lax.scan(inner, (state, edep32, oflow), None,
                                     length=n_steps)[0]
 
-            if last_chunk == chunk:
-                state, edep32, oflow = run_inner(chunk)
-            else:
-                state, edep32, oflow = jax.lax.cond(
+            def run_chunk():
+                if last_chunk == chunk:
+                    return run_inner(chunk)
+                return jax.lax.cond(
                     steps_in_chunk == chunk,
                     lambda: run_inner(chunk),
                     lambda: run_inner(last_chunk),
                 )
+
+            # early exit: once every ray has terminated, remaining chunks are
+            # pure no-ops (the CUDA `break` analog at chunk granularity)
+            state, edep32, oflow = jax.lax.cond(
+                jnp.any(state.alive),
+                run_chunk,
+                lambda: (state, edep32, oflow),
+            )
             master = master + edep32.astype(master.dtype)
             return (state, master, oflow), None
 

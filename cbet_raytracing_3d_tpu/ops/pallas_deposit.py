@@ -97,11 +97,6 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
                 base = c + 1 - origin
                 return base, base + s, d
 
-            def onehot2(width, base, nbr, d):
-                iota = jax.lax.broadcasted_iota(jnp.int32, (r, width), 1)
-                return (jnp.where(iota == base[:, None], 1.0 - d[:, None], 0.0)
-                        + jnp.where(iota == nbr[:, None], d[:, None], 0.0))
-
             xb, xn, dx_ = axis_weights(cx, fx, x0)
             yb, yn, dy_ = axis_weights(cy, fy, y0)
             zb, zn, dz_ = axis_weights(cz, fz, z0)
@@ -113,29 +108,47 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
                            & inside(zb, zn, bz))
             oflow_ref[0, 0] += jnp.sum(bad.astype(jnp.int32))
 
-            # M[s, x*BYK+y] = U[s,x]*V[s,y], built directly on the collapsed
-            # index against constant x/y index planes (Mosaic cannot reshape
-            # non-minor dims into lanes, and pltpu.repeat has tile semantics)
-            xx_of = xyidx_ref[0:1, :]                        # (1, BX*BYK)
-            yy_of = xyidx_ref[1:2, :]
+            # Per-axis 2-point weights as a hat function: the scheme puts
+            # weight (1-d)=|p| at `base` and d at `base+s`, which equals
+            # relu(1 - |(idx - base) - s*d|) — zero outside the two target
+            # nodes by construction.  Hats are computed in f32; only the
+            # final MXU operand is cast to bf16 (one rounding per weight,
+            # ~2^-9 random sign -> ~3e-5 per node over a full-density run,
+            # under the 1e-4 bar; f32 MXU would cost ~4x).
+            def sign_d(frac):
+                p = frac - 0.5
+                d = 1.0 - jnp.abs(p)
+                s = jnp.where(p < 0, -1.0, 1.0)
+                return (s * d)[:, None]                      # (R,1) f32
 
-            def onehot_at(idx_plane, base, nbr, d):
-                return (jnp.where(idx_plane == base[:, None],
-                                  1.0 - d[:, None], 0.0)
-                        + jnp.where(idx_plane == nbr[:, None],
-                                    d[:, None], 0.0))
+            sdx = sign_d(fx)
+            sdy = sign_d(fy)
+            sdz = sign_d(fz)
 
-            m = (onehot_at(xx_of, xb, xn, dx_)
-                 * onehot_at(yy_of, yb, yn, dy_))            # (R, BX*BYK)
-            wi = onehot2(bz, zb, zn, dz_) * inc[:, None]     # (R, BZ)
-            # bf16 operands, f32 accumulation: the f32 MXU path costs ~4x.
-            # Per-deposit weight error is ~2^-9 with random sign; averaged
-            # over the ~4e3 deposits/node of a full-density run this lands
-            # ~3e-5 relative — under the 1e-4 bar (validated vs the oracle).
-            # wi carries the (large) increment: split it hi/lo so its value
-            # keeps ~16 mantissa bits while m's 0/1-structured weights round
-            # benignly.
-            mb = m.astype(jnp.bfloat16)
+            def base_col(c, origin):
+                return (c + 1 - origin).astype(jnp.float32)[:, None]
+
+            bxs = base_col(cx, x0)
+            bys = base_col(cy, y0)
+            bzs = base_col(cz, z0)
+
+            def hat(idx_plane, base, sd):
+                t = (idx_plane - base) - sd
+                return jnp.maximum(1.0 - jnp.abs(t), 0.0)
+
+            # M[s, x*BYK+y] = hat_x * hat_y on the collapsed index against
+            # constant x/y index planes (Mosaic cannot reshape non-minor
+            # dims into lanes)
+            xx_of = xyidx_ref[0:1, :].astype(jnp.float32)    # (1, BX*BYK)
+            yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
+            mb = (hat(xx_of, bxs, sdx)
+                  * hat(yy_of, bys, sdy)).astype(jnp.bfloat16)
+            iota_z = jax.lax.broadcasted_iota(
+                jnp.int32, (r, bz), 1).astype(jnp.float32)
+            hz = hat(iota_z, bzs, sdz)
+            # wi carries the (large) increment: split hi/lo so its value
+            # keeps ~16 mantissa bits
+            wi = hz * inc[:, None]                           # (R, BZ) f32
             wi_hi = wi.astype(jnp.bfloat16)
             wi_lo = (wi - wi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             dn_ = (((0,), (0,)), ((), ()))
@@ -156,7 +169,8 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
 
 
 def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
-                      box: int = 32, tiles_per_block: int = 8,
+                      box: tuple[int, int, int] | int = (28, 24, 32),
+                      tiles_per_block: int = 8,
                       n_groups: int = 1, tiles_per_group: int | None = None,
                       interpret: bool = False):
     """Build the deposit function
@@ -173,9 +187,11 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         raise NotImplementedError(
             f"tile deposit kernel requires nz+2 <= {ZLANES} lanes, got {nzp}; "
             "use deposit_backend='scatter'")
-    bx = min(box, nxp)
-    byk = min(box + 8, nyp)     # +8: y origin is aligned down to the sublane
-    bz = min(box, ZLANES)
+    if isinstance(box, int):
+        box = (box, box, box)
+    bx = min(box[0], nxp)
+    byk = min(box[1] + 8, nyp)  # +8: y origin is aligned down to the sublane
+    bz = min(box[2], ZLANES)
     r = rays_per_tile
     tb = tiles_per_block
 

@@ -167,3 +167,23 @@ def test_rays_terminate(result64, state0_subset):
     launched = np.asarray(state0_subset.alive)
     alive_frac = float(np.asarray(state.alive)[launched].mean())
     assert alive_frac < 0.5
+
+
+def test_high_res_fallback_smoke(profiles):
+    """BASELINE config 4 shape (2x grid): nz+2 > 128 exceeds the Pallas
+    kernel's lane budget, so the backend resolver must fall back to scatter
+    and the integrator must run (a few chunks, subset of rays)."""
+    cfg = Config(nx=200, ny=200, nz=200, nbeams=1, rays_per_zone=1,
+                 dtype="float64")
+    assert rt.resolve_deposit_backend(cfg) == "scatter"
+    ctx = rt.prepare(cfg, profiles)
+    idx = np.arange(0, ctx.layout.n_slots, 7)[:256]
+    s0 = rt.select_rays(ctx.state0, idx)
+    fn = jax.jit(rt.make_chunk_fn(cfg, ctx.layout.rays_per_tile, 8,
+                                  backend="scatter"))
+    master = jnp.zeros(cfg.edep_shape)
+    st, master, of = fn(ctx.field4, s0, master, jnp.int32(0))
+    m = np.asarray(master)
+    assert np.isfinite(m).all()
+    assert m.sum() > 0
+    assert int(of) == 0

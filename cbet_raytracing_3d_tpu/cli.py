@@ -5,9 +5,10 @@ The reference's only runtime knob is an OpenMP thread count
 compile time (def.cuh).  Here every def.cuh parameter is a flag; subcommands:
 
 * ``run``    — full simulation (optionally with the CBET stage)
-* ``bench``  — timed run printing the one-line benchmark JSON
 * ``dump``   — reference-compatible -D PRINT text dump to stdout
                 (Makefile:14-17 golden-test replacement)
+
+(The benchmark harness is top-level ``bench.py`` — the driver contract.)
 
 Usage examples::
 

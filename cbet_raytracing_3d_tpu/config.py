@@ -70,7 +70,6 @@ class Config:
     cbet_tol: float = 1e-4
     cbet_relax: float = 0.5           # under-relaxation of the intensity-field update
     machnum: float = k.MACH           # flow Mach number (def.cuh:99; machnum undefined there)
-    numstored: int = 5 * 4            # per-cell crossing capacity contract (def.cuh:94)
     ncrossings_mult: int = 3          # ncrossings = mult*nx (def.cuh:96)
 
     # --- execution ---
@@ -148,6 +147,11 @@ class Config:
     def ncrossings(self) -> int:
         # def.cuh:96
         return self.ncrossings_mult * self.nx
+
+    @property
+    def numstored(self) -> int:
+        # per-cell crossing capacity contract (def.cuh:94)
+        return 5 * self.rays_per_zone
 
     @property
     def traced_rays_per_beam(self) -> int:

@@ -136,7 +136,8 @@ def _node_rhat(cfg: Config) -> np.ndarray:
 
 
 def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
-                       backend: str | None = None):
+                       backend: str | None = None,
+                       intensity_scatter: bool = False):
     """Jitted gain-aware trace:
     ``(field4, gain (B,P), state0) -> (edep, intensity (B,P), state)``.
 
@@ -152,26 +153,31 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     nb = cfg.nbeams
     d = np.array([cfg.dx, cfg.dy, cfg.dz])
 
-    # per-slot beam id (padding slots get 0 but are permanently dead)
-    beam_of_slot = np.maximum(ctx.beam_id, 0).astype(np.int32)
-
     pallas = backend in ("pallas", "pallas_interpret")
     from ..ops.pallas_deposit import ZLANES, finalize_edep, make_tile_deposit
 
-    if pallas:
+    # grouped Pallas intensity deposit requires globally beam-contiguous tile
+    # indices, which per-shard grids can't see — sharded solves use the
+    # beam-offset scatter instead (see cbet_solve)
+    grouped_pallas = pallas and not intensity_scatter
+    if grouped_pallas:
         ideposit = make_tile_deposit(
             nx, ny, nz, ctx.layout.rays_per_tile, box=cfg.deposit_box,
             tiles_per_block=cfg.tiles_per_block, n_groups=nb,
             tiles_per_group=ctx.layout.tiles_per_beam,
             interpret=backend == "pallas_interpret")
 
-    def make(pad_slots: int):
-        bid = jnp.asarray(
-            np.pad(beam_of_slot, (0, pad_slots - beam_of_slot.shape[0])))
-        shape3 = (cfg.nx + 2, cfg.ny + 2, ZLANES) if pallas else cfg.edep_shape
-        ishape = (nb,) + shape3
+    chunk = max(1, min(cfg.chunk_steps, cfg.nt))
+    n_chunks = -(-cfg.nt // chunk)
+    last_chunk = cfg.nt - (n_chunks - 1) * chunk
 
-        def trace(field4, gain, state0: rt.RayState):
+    def make():
+        shape3 = (cfg.nx + 2, cfg.ny + 2, ZLANES) if pallas else cfg.edep_shape
+        ishape = ((nb,) + shape3 if grouped_pallas
+                  else (nb,) + cfg.edep_shape)
+
+        # bid is a (sharded) argument: per-slot beam ids travel with the rays
+        def trace(field4, gain, bid, state0: rt.RayState):
             dtype = state0.uray.dtype
             dvec = jnp.asarray(d, dtype)
             inv_cdt = jnp.asarray(1.0 / (k.C_CMS * cfg.dt), dtype)
@@ -200,7 +206,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 contrib = jnp.where(state.alive,
                                     state.uray * (ds * inv_cdt),
                                     jnp.asarray(0.0, dtype))
-                if pallas:
+                if grouped_pallas:
                     ibeams, of_i = ideposit(ibeams, *state.cell, *state.frac,
                                             contrib)
                     of = of + of_i
@@ -214,12 +220,47 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     ibeams = flat_i.reshape(ibeams.shape)
                 return (state, edep, ibeams, oflow + of), None
 
-            edep0 = jnp.zeros(shape3, dtype)
-            ib0 = jnp.zeros(ishape, jnp.float32 if pallas else dtype)
+            # chunked accumulation (see raytracer.make_trace_fn): per-chunk
+            # float32 grids promote into wider masters, and fully-dead chunks
+            # are skipped
+            edep_master = jnp.zeros(
+                shape3, jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype)))
+            # the Pallas kernel accumulates in f32; the scatter path keeps the
+            # compute dtype (float64 on CPU validation runs)
+            igrid_dtype = jnp.float32 if grouped_pallas else dtype
+            imaster = jnp.zeros(ishape, igrid_dtype)
+
+            def chunk_body(carry, steps_in_chunk):
+                state, edep_master, imaster, oflow = carry
+                edep0 = jnp.zeros(shape3, dtype)
+                ib0 = jnp.zeros(ishape, igrid_dtype)
+
+                def run_inner(n_steps):
+                    return jax.lax.scan(step, (state, edep0, ib0, oflow),
+                                        None, length=n_steps)[0]
+
+                def run_chunk():
+                    if last_chunk == chunk:
+                        return run_inner(chunk)
+                    return jax.lax.cond(steps_in_chunk == chunk,
+                                        lambda: run_inner(chunk),
+                                        lambda: run_inner(last_chunk))
+
+                state2, edep32, ib32, oflow = jax.lax.cond(
+                    jnp.any(state.alive), run_chunk,
+                    lambda: (state, edep0, ib0, oflow))
+                return (state2, edep_master + edep32.astype(edep_master.dtype),
+                        imaster + ib32, oflow), None
+
+            steps_per_chunk = jnp.asarray(
+                [chunk] * (n_chunks - 1) + [last_chunk], jnp.int32)
             (state, edep, ibeams, oflow), _ = jax.lax.scan(
-                step, (state0, edep0, ib0, jnp.int32(0)), None, length=cfg.nt)
+                chunk_body, (state0, edep_master, imaster, jnp.int32(0)),
+                steps_per_chunk)
+
             if pallas:
                 edep = finalize_edep(edep, cfg.nz)
+            if grouped_pallas:
                 ibeams = finalize_edep(ibeams, cfg.nz)
             # crop ghosts -> per-beam node fields (B, P)
             inodes = ibeams[:, 1:-1, 1:-1, 1:cfg.nz + 1].reshape(nb, P)
@@ -235,26 +276,53 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
                backend: str | None = None, verbose: bool = False) -> CbetResult:
-    """Fixed-point CBET solve (batched over beam pairs)."""
+    """Fixed-point CBET solve (batched over beam pairs).
+
+    With a multi-device ``mesh``, each iteration's trace is shard_mapped over
+    the ray axis with psum-reduced deposition/intensity grids (BASELINE
+    config 5 structure); per-beam intensity then uses the beam-offset scatter
+    path (per-shard grouped grids can't see global beam boundaries)."""
+    import math as _math
+
     gain_fn = make_gain_fn(cfg, ctx)
     rpt = ctx.layout.rays_per_tile
-    from ..parallel.sharding import pad_rays
-    state0 = pad_rays(ctx.state0, rpt * cfg.tiles_per_block)
-    trace_maker = make_cbet_trace_fn(cfg, ctx, backend)
-    trace = jax.jit(trace_maker(state0.n))
+    from ..parallel.sharding import AXIS, pad_rays
+    n_dev = 1 if mesh is None else int(_math.prod(mesh.devices.shape))
+    state0 = pad_rays(ctx.state0, n_dev * rpt * cfg.tiles_per_block)
+    trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
+                                     intensity_scatter=n_dev > 1)
+    # per-slot beam ids (padding slots get 0 but are permanently dead)
+    bid_np = np.maximum(ctx.beam_id, 0).astype(np.int32)
+    bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
+    local = trace_maker()
+    if n_dev > 1:
+        from jax.sharding import PartitionSpec as Pspec
+
+        def sharded(field4, gain, bid_, st):
+            edep, inodes, st2, of = local(field4, gain, bid_, st)
+            return (jax.lax.psum(edep, AXIS), jax.lax.psum(inodes, AXIS),
+                    st2, jax.lax.psum(of, AXIS))
+
+        trace = jax.jit(jax.shard_map(
+            sharded, mesh=mesh,
+            in_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec(AXIS)),
+            out_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec()),
+            check_vma=False))
+    else:
+        trace = jax.jit(local)
 
     P = cfg.nx * cfg.ny * cfg.nz
     nb = cfg.nbeams
     zero_gain = jnp.zeros((nb, P), jnp.dtype(cfg.dtype))
 
-    edep, intensity, state, oflow = trace(ctx.field4, zero_gain, state0)
+    edep, intensity, state, oflow = trace(ctx.field4, zero_gain, bid, state0)
     assert int(oflow) == 0
     history = []
     converged = False
     it = 0
     for it in range(1, cfg.cbet_max_iters + 1):
         gain = gain_fn(intensity.astype(jnp.float32)).astype(zero_gain.dtype)
-        edep, i_new, state, oflow = trace(ctx.field4, gain, state0)
+        edep, i_new, state, oflow = trace(ctx.field4, gain, bid, state0)
         assert int(oflow) == 0
         scale = float(jnp.max(jnp.abs(intensity)))
         delta = float(jnp.max(jnp.abs(i_new - intensity))) / max(scale, 1e-300)
@@ -267,7 +335,7 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
             converged = True
             break
 
-    stats = rt.trace_stats(ctx, rt.select_rays(state, np.arange(ctx.layout.n_slots)))
+    stats = rt.trace_stats(ctx, state)
     return CbetResult(
         edep=np.asarray(jax.device_get(edep), np.float64),
         intensity=np.asarray(jax.device_get(intensity), np.float64).reshape(

@@ -40,10 +40,7 @@ def load_profiles(ne_file: str = DEFAULT_NE_FILE,
     Matches the reference's read order: te first, then ne whose radius column
     overwrites (main.cu:249-260) — hence ``r`` comes from the ne file.
     """
-    te_rows = np.loadtxt(te_file)[:nr]
-    ne_rows = np.loadtxt(ne_file)[:nr]
-    return RadialProfiles(
-        r=np.ascontiguousarray(ne_rows[:, 0], dtype=np.float64),
-        ne=np.ascontiguousarray(ne_rows[:, 1], dtype=np.float64),
-        te=np.ascontiguousarray(te_rows[:, 1], dtype=np.float64),
-    )
+    from .utils.native import parse_profile
+    _, te = parse_profile(te_file, nr)
+    r, ne = parse_profile(ne_file, nr)
+    return RadialProfiles(r=r, ne=ne, te=te)

@@ -150,8 +150,8 @@ def write_outputs(res: RunResult, outdir: str, formats: tuple[str, ...] = ("npz"
                 continue
             save_hdf5(path, res.cfg, res.edep)
         elif fmt == "txt":
-            with open(path, "w") as f:
-                f.write(dump_print_format(res.edep))
+            from .utils.native import write_print_dump
+            write_print_dump(path, res.edep)
         elif fmt == "json":
             with open(path, "w") as f:
                 json.dump({"stats": res.stats, "timings": res.timings}, f,

@@ -29,8 +29,12 @@ def config_fingerprint(cfg: Config) -> str:
 
 def save_checkpoint(path: str, cfg: Config, chunk_index: int,
                     master, state: RayState, oflow: int) -> None:
+    """Atomic: writes to a temp file then os.replace, so an interrupt
+    mid-write never corrupts the previous good checkpoint."""
+    import os
+    tmp = path + ".tmp"
     np.savez_compressed(
-        path,
+        tmp,
         format_version=FORMAT_VERSION,
         fingerprint=config_fingerprint(cfg),
         chunk_index=chunk_index,
@@ -44,6 +48,9 @@ def save_checkpoint(path: str, cfg: Config, chunk_index: int,
         cell=np.stack([np.asarray(a) for a in state.cell]),
         alive=np.asarray(state.alive),
     )
+    # numpy appends .npz to names without it
+    written = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(written, path)
 
 
 def load_checkpoint(path: str, cfg: Config):

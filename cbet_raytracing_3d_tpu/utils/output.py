@@ -73,14 +73,13 @@ def coordinate_meshes(cfg: Config):
 
 def edep_box_average(cfg: Config, edep_padded: np.ndarray) -> np.ndarray:
     """27-node box average over the ghost-padded grid (main.cu:334-349):
-    ``edepavg[i,j,k] = mean(edep[i:i+3, j:j+3, k:k+3])``."""
+    ``edepavg[i,j,k] = mean(edep[i:i+3, j:j+3, k:k+3])``.
+
+    Delegates to the native C++ filter when available (NumPy fallback
+    inside)."""
     assert edep_padded.shape == cfg.edep_shape
-    out = np.zeros((cfg.nx, cfg.ny, cfg.nz))
-    for di in range(3):
-        for dj in range(3):
-            for dk in range(3):
-                out += edep_padded[di:di + cfg.nx, dj:dj + cfg.ny, dk:dk + cfg.nz]
-    return out / 27.0
+    from .native import box_average27
+    return box_average27(edep_padded)
 
 
 def save_npz(path: str, cfg: Config, edep_padded: np.ndarray,

@@ -92,13 +92,32 @@ def test_cbet_pallas_intensity_matches_scatter(two_beam_cfg, two_beam_ctx, profi
     P = cfg.nx * cfg.ny * cfg.nz
     zero_gain = jnp.zeros((2, P), jnp.float32)
 
-    tr_s = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="scatter")(state0.n))
-    e_s, i_s, _, _ = tr_s(ctx.field4, zero_gain, state0)
-    tr_p = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="pallas_interpret")(state0.n))
-    e_p, i_p, _, of = tr_p(ctx.field4, zero_gain, state0)
+    bid_np = np.maximum(ctx.beam_id, 0).astype(np.int32)
+    bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
+    tr_s = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="scatter")())
+    e_s, i_s, _, _ = tr_s(ctx.field4, zero_gain, bid, state0)
+    tr_p = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="pallas_interpret")())
+    e_p, i_p, _, of = tr_p(ctx.field4, zero_gain, bid, state0)
     assert int(of) == 0
 
     i_s, i_p = np.asarray(i_s, np.float64), np.asarray(i_p, np.float64)
     rel_l2 = np.linalg.norm(i_p - i_s) / max(np.linalg.norm(i_s), 1e-300)
     assert rel_l2 < 2e-3, rel_l2     # bf16 kernel weights on a sparse sample
     np.testing.assert_allclose(i_p.sum(), i_s.sum(), rtol=1e-3)
+
+
+def test_cbet_sharded_matches_single_device(two_beam_cfg, profiles):
+    """Multi-device cbet_solve (shard_map + psum'd intensity/deposition)
+    must reproduce the single-device fixed point."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = two_beam_cfg.replace(cbet_max_iters=3, dtype="float64")
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="scatter")
+    mesh = make_mesh(jax.devices()[:4])
+    res4 = cbet_solve(cfg, ctx, mesh=mesh, backend="scatter")
+    np.testing.assert_allclose(res4.edep, res1.edep, rtol=1e-10,
+                               atol=1e-10 * res1.edep.max())
+    np.testing.assert_allclose(res4.intensity, res1.intensity, rtol=1e-10,
+                               atol=1e-10 * max(res1.intensity.max(), 1))

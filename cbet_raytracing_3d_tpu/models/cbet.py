@@ -320,6 +320,9 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     history = []
     converged = False
     it = 0
+    # NOTE: scalar-rho vector extrapolation was tried here and measured
+    # *slower* than plain under-relaxation (16 vs 9 iterations on the
+    # two-beam problem) — the damped iteration is already near-optimal.
     for it in range(1, cfg.cbet_max_iters + 1):
         gain = gain_fn(intensity.astype(jnp.float32)).astype(zero_gain.dtype)
         edep, i_new, state, oflow = trace(ctx.field4, gain, bid, state0)
@@ -329,11 +332,12 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
         history.append(delta)
         if verbose:
             print(f"cbet iter {it}: rel delta {delta:.3e}")
-        intensity = (cfg.cbet_relax * i_new
-                     + (1.0 - cfg.cbet_relax) * intensity)
         if delta < cfg.cbet_tol:
+            intensity = i_new
             converged = True
             break
+        intensity = (cfg.cbet_relax * i_new
+                     + (1.0 - cfg.cbet_relax) * intensity)
 
     stats = rt.trace_stats(ctx, state)
     return CbetResult(

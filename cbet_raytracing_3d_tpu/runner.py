@@ -33,10 +33,45 @@ class RunResult:
     cbet: Any | None = None
 
 
+def estimate_hbm_bytes(cfg: Config, with_cbet: bool = False) -> int:
+    """Rough per-device HBM demand — the checked-allocation analog of the
+    reference's safeGPUAlloc free-memory preflight (multi_gpu.cpp:11-27)."""
+    from .models.raytracer import build_tile_layout
+    layout = build_tile_layout(cfg)
+    n_slots = layout.n_slots
+    state = 13 * n_slots * 4                  # SoA ray state + padding slack
+    P = cfg.nx * cfg.ny * cfg.nz
+    field4 = P * 128 * 4                      # (P, 4) lane-pads to (P, 128)
+    grids = 2 * (cfg.nx + 2) * (cfg.ny + 2) * 128 * 8
+    cbet = 0
+    if with_cbet:
+        cbet = (cfg.nbeams + 2) * (cfg.nx + 2) * (cfg.ny + 2) * 128 * 4 \
+            + 2 * cfg.nbeams * P * 4
+    return state + field4 + grids + cbet
+
+
+def check_hbm(cfg: Config, with_cbet: bool = False) -> None:
+    """Fail fast with a clear message when the run cannot fit — unlike the
+    reference, which logs allocation errors and continues with bad pointers
+    (SURVEY.md §5.3)."""
+    need = estimate_hbm_bytes(cfg, with_cbet)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        avail = stats.get("bytes_limit", 0)
+    except Exception:
+        avail = 0
+    if avail and need > 0.95 * avail:
+        raise RuntimeError(
+            f"estimated HBM demand {need/2**30:.1f} GiB exceeds device "
+            f"capacity {avail/2**30:.1f} GiB — reduce grid/ray counts or "
+            "shard over more devices")
+
+
 def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         backend: str | None = None, verbose: bool = True) -> RunResult:
     """Full simulation run with reference-parity phase accounting."""
     timers = PhaseTimers()
+    check_hbm(cfg, with_cbet)
 
     with timers.phase("Init"):
         ctx = rt.prepare(cfg)

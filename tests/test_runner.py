@@ -81,3 +81,21 @@ def test_checkpoint_rejects_wrong_config(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="fingerprint"):
         load_checkpoint(ck, other)
+
+
+def test_hbm_preflight():
+    """Oversized configs fail fast with a clear message (unlike the
+    reference, which logs cudaMalloc errors and continues — SURVEY.md §5.3)."""
+    from cbet_raytracing_3d_tpu.runner import check_hbm, estimate_hbm_bytes
+    cfg = Config(**SMALL)
+    check_hbm(cfg)                      # small scene must pass
+    assert estimate_hbm_bytes(cfg) > 0
+    big = Config(nx=400, ny=400, nz=400, nbeams=60)
+    try:
+        avail = __import__("jax").devices()[0].memory_stats() or {}
+    except Exception:
+        avail = {}
+    if avail.get("bytes_limit"):
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="HBM"):
+            check_hbm(big, with_cbet=True)

@@ -85,11 +85,15 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
 
     with timers.phase("Tracing"):
         edep_dev, state, oflow = fn(ctx.field4, state0)
-        # Combining (psum over ICI) happens inside the jitted fn; the fence +
-        # host download is what remains
-    with timers.phase("Combining"):
-        edep = np.asarray(jax.device_get(edep_dev), dtype=np.float64)
+        # fence: dispatch is async, and on the tunneled backend
+        # block_until_ready is a no-op — a tiny device_get attributes the
+        # device time to this phase like the reference's
+        # cudaDeviceSynchronize (main.cu:175)
         oflow = int(jax.device_get(oflow))
+    with timers.phase("Combining"):
+        # the psum over ICI happens inside the jitted fn; what remains is the
+        # grid download (the reference's D2H + host sum, main.cu:178-210)
+        edep = np.asarray(jax.device_get(edep_dev), dtype=np.float64)
 
     if oflow:
         raise RuntimeError(

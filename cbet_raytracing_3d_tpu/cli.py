@@ -61,6 +61,8 @@ def main(argv=None) -> int:
     p_run.add_argument("--formats", default="npz,json",
                        help="comma list: npz,hdf5,txt,json")
     p_run.add_argument("--quiet", action="store_true")
+    p_run.add_argument("--profile-dir", default=None,
+                       help="capture a jax.profiler trace of the Tracing phase")
 
     p_dump = sub.add_parser("dump", help="-D PRINT compatible dump to stdout")
     _add_config_flags(p_dump)
@@ -69,7 +71,8 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
 
     if args.cmd == "run":
-        res = run(cfg, with_cbet=args.cbet, verbose=not args.quiet)
+        res = run(cfg, with_cbet=args.cbet, verbose=not args.quiet,
+                  profile_dir=args.profile_dir)
         paths = write_outputs(res, args.out_dir,
                               tuple(args.formats.split(",")))
         if not args.quiet:

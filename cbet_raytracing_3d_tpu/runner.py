@@ -68,10 +68,26 @@ def check_hbm(cfg: Config, with_cbet: bool = False) -> None:
 
 
 def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
-        backend: str | None = None, verbose: bool = True) -> RunResult:
-    """Full simulation run with reference-parity phase accounting."""
+        backend: str | None = None, verbose: bool = True,
+        profile_dir: str | None = None) -> RunResult:
+    """Full simulation run with reference-parity phase accounting.
+
+    ``profile_dir`` captures a jax.profiler trace of the Tracing phase
+    (SURVEY.md §5.1 — the reference only offers -lineinfo/nsight hooks);
+    unsupported backends degrade to a warning."""
     timers = PhaseTimers()
     check_hbm(cfg, with_cbet)
+
+    import contextlib
+
+    def _profiler():
+        if not profile_dir:
+            return contextlib.nullcontext()
+        try:
+            return jax.profiler.trace(profile_dir)
+        except Exception as e:          # tunneled backends may not support it
+            print(f"warning: profiler unavailable: {e}", file=sys.stderr)
+            return contextlib.nullcontext()
 
     with timers.phase("Init"):
         ctx = rt.prepare(cfg)
@@ -83,7 +99,7 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile, backend)
         # device placement of the small replicated inputs happens on first call
 
-    with timers.phase("Tracing"):
+    with timers.phase("Tracing"), _profiler():
         edep_dev, state, oflow = fn(ctx.field4, state0)
         # fence: dispatch is async, and on the tunneled backend
         # block_until_ready is a no-op — a tiny device_get attributes the

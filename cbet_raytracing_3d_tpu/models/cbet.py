@@ -138,8 +138,10 @@ def _node_rhat(cfg: Config) -> np.ndarray:
 def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        backend: str | None = None,
                        intensity_scatter: bool = False):
-    """Jitted gain-aware trace:
-    ``(field4, gain (B,P), state0) -> (edep, intensity (B,P), state)``.
+    """Gain-aware trace builder; ``make()`` returns
+    ``(field4, gain (B,P), bid (N,), state0) -> (edep, intensity (B,P),
+    state, overflow)`` (``bid`` = per-slot beam ids, sharded alongside the
+    rays in multi-device solves).
 
     Extends the base integrator step with the multiplicative CBET gain and
     per-beam intensity accumulation (trilinear deposit of ``uray*|v|/c`` —

@@ -13,11 +13,12 @@ structural facts instead:
    measured ~26-cell bounding box for the entire trace, so a 32-cell box
    contains every deposit on every axis.
 
-Per tile the kernel builds per-axis 2-point one-hot weight matrices — exact
-zeros, so dead/zero-increment rays contribute nothing — expands the x/y pair
-into M[s, x*BYK+y] via hardware ``repeat``/lane-tiling (Mosaic cannot reshape
-non-minor dims), and contracts rays on the MXU against the z one-hot:
-``E = M^T @ (Wz * inc)``.  The z axis is *boxed* to BZ lanes (3x fewer MACs
+Per tile the kernel builds per-axis 2-point hat-function weight matrices
+(``relu(1 - |(idx - base) - s*d|)`` — exact zeros outside the two target
+nodes, so dead/zero-increment rays contribute nothing) directly on a
+collapsed x*BYK+y index against constant index planes (Mosaic cannot reshape
+non-minor dims into lanes), and contracts rays on the MXU against the z hat:
+``E = M^T @ (Wz * inc)`` in bf16 with an hi/lo value split.  The z axis is *boxed* to BZ lanes (3x fewer MACs
 than a dense-z contraction) and placed at its dynamic lane offset with a
 circular ``pltpu.roll`` over a 128-lane z dimension — so the deposition grid
 is carried as (nx+2, ny+2, 128) with z-lanes [nz+2:128] as always-zero pad.

@@ -37,8 +37,8 @@ def main() -> int:
     ctx = rt.prepare(cfg)
     mesh = sh.make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
-    state0 = sh.pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
-                         * cfg.tiles_per_block)
+    state0 = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
+                         n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block)
     fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile)
     t_init = time.perf_counter() - t_init0
 

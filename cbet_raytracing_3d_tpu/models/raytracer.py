@@ -141,6 +141,8 @@ class TraceContext:
     field4: jnp.ndarray          # (P, 4) interleaved kick_x/y/z + absorb fields
     state0: RayState             # tile-ordered (n_slots,) initial state
     beam_id: np.ndarray          # (n_slots,) int32 beam of each slot (-1 padding)
+    live_slots: np.ndarray       # slots of tiles with >=1 launched ray (~83%);
+                                 # pupil-dead/padding tiles never contribute
 
 
 def prepare(cfg: Config, prof: RadialProfiles | None = None,
@@ -204,9 +206,20 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     )
     beam_id = np.full((ns,), -1, np.int32)
     beam_id[slots] = ray_beam
+
+    # tiles with no launched ray (pupil-rejected or layout padding, ~17% on
+    # the reference scene) are statically dead: the fast paths trace only
+    # live-tile slots (tile granularity preserves the kernel contract)
+    mask_slots = np.zeros((ns,), bool)
+    mask_slots[slots] = rays.mask.reshape(-1)
+    rpt = layout.rays_per_tile
+    tile_live = mask_slots.reshape(-1, rpt).any(axis=1)
+    live_slots = (np.nonzero(tile_live)[0][:, None] * rpt
+                  + np.arange(rpt)[None, :]).reshape(-1)
+
     return TraceContext(cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields,
                         rays=rays, layout=layout, field4=field4,
-                        state0=state0, beam_id=beam_id)
+                        state0=state0, beam_id=beam_id, live_slots=live_slots)
 
 
 def select_rays(state: RayState, indices: np.ndarray) -> RayState:
@@ -467,24 +480,30 @@ def trace_shapes(cfg: Config, backend: str | None = None):
 
 
 def trace(ctx: TraceContext, backend: str | None = None):
-    """Convenience single-device full trace.  Returns (edep [np.f64 padded],
-    final RayState)."""
+    """Convenience single-device full trace (live tiles only).  Returns
+    (edep [np.f64 padded], final RayState over live slots)."""
     from ..parallel.sharding import pad_rays
     fn = jax.jit(make_trace_fn(ctx.cfg, ctx.layout.rays_per_tile, backend))
-    state0 = pad_rays(ctx.state0,
+    state0 = pad_rays(select_rays(ctx.state0, ctx.live_slots),
                       ctx.layout.rays_per_tile * ctx.cfg.tiles_per_block)
     edep, state, oflow = fn(ctx.field4, state0)
     assert int(oflow) == 0, f"deposit box overflow: {int(oflow)} deposits lost"
     return np.asarray(jax.device_get(edep), dtype=np.float64), state
 
 
-def trace_stats(ctx: TraceContext, state: RayState) -> dict[str, Any]:
+def trace_stats(ctx: TraceContext, state: RayState,
+                state0: RayState | None = None) -> dict[str, Any]:
     """Run metrics the reference lacks (SURVEY.md §5.5): launch/termination
-    accounting and energy bookkeeping."""
-    launched_mask = np.asarray(ctx.state0.alive)
+    accounting and energy bookkeeping.
+
+    ``state0`` is the initial state actually traced (it may be a live-tile
+    subset of ``ctx.state0``, possibly padded); defaults to ``ctx.state0``."""
+    if state0 is None:
+        state0 = ctx.state0
+    launched_mask = np.asarray(state0.alive)
+    ns = min(launched_mask.shape[0], state.uray.shape[0])
+    launched_mask = launched_mask[:ns]
     launched = int(launched_mask.sum())
-    ns = launched_mask.shape[0]
-    # the traced state may carry extra padding slots (all dead) — drop them
     alive_end = int(np.asarray(state.alive)[:ns].sum())
     uray = np.asarray(state.uray, np.float64)[:ns]
     uinit = np.asarray(state.uray_init, np.float64)[:ns]

@@ -94,8 +94,9 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         if mesh is None:
             mesh = sh.make_mesh()
         n_dev = int(np.prod(mesh.devices.shape))
-        state0 = sh.pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
-                             * cfg.tiles_per_block)
+        state0 = sh.pad_rays(
+            rt.select_rays(ctx.state0, ctx.live_slots),
+            n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block)
         fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile, backend)
         # device placement of the small replicated inputs happens on first call
 
@@ -116,7 +117,7 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
             f"deposit box overflow: {oflow} deposits lost — raise "
             f"Config.deposit_box (currently {cfg.deposit_box})")
 
-    stats = rt.trace_stats(ctx, state)
+    stats = rt.trace_stats(ctx, state, state0)
     stats["edep_total"] = float(edep.sum())
     stats["devices"] = n_dev
 
@@ -146,7 +147,7 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
     timers = PhaseTimers()
     with timers.phase("Init"):
         ctx = rt.prepare(cfg)
-        state = sh.pad_rays(ctx.state0,
+        state = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
                             ctx.layout.rays_per_tile * cfg.tiles_per_block)
         chunk = max(1, min(cfg.chunk_steps, cfg.nt))
         n_chunks = -(-cfg.nt // chunk)
@@ -183,7 +184,7 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
     if of:
         raise RuntimeError(f"deposit box overflow: {of}")
 
-    stats = rt.trace_stats(ctx, state)
+    stats = rt.trace_stats(ctx, state, rt.select_rays(ctx.state0, ctx.live_slots))
     stats["edep_total"] = float(edep.sum())
     if verbose:
         print(timers.report(), file=sys.stderr)

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import Config
 from ..models.raytracer import RayState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: checkpoints hold live-tile-subset states
 
 
 def config_fingerprint(cfg: Config) -> str:

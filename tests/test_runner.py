@@ -99,3 +99,15 @@ def test_hbm_preflight():
         import pytest as _pytest
         with _pytest.raises(RuntimeError, match="HBM"):
             check_hbm(big, with_cbet=True)
+
+
+def test_run_with_cbet(tmp_path):
+    """runner.run(with_cbet=True): the full pipeline including the CBET phase
+    and its timings."""
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=32, ny=32, nz=32,
+                 dtype="float64", cbet_max_iters=4, cbet_tol=1e-2)
+    res = run(cfg, with_cbet=True, verbose=False)
+    assert res.cbet is not None
+    assert res.cbet.intensity.shape == (2, 32, 32, 32)
+    assert "CBET" in res.timings
+    assert np.isfinite(res.cbet.edep).all()

@@ -111,3 +111,21 @@ def test_run_with_cbet(tmp_path):
     assert res.cbet.intensity.shape == (2, 32, 32, 32)
     assert "CBET" in res.timings
     assert np.isfinite(res.cbet.edep).all()
+
+
+def test_cli_dump(tmp_path):
+    """`cli dump` emits the reference -D PRINT format (nested brackets over
+    the full ghost-padded grid) on stdout."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "cbet_raytracing_3d_tpu.cli", "dump",
+         "--nbeams", "1", "--rays-per-zone", "1", "--nx", "16", "--ny", "16",
+         "--nz", "16"],
+        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    text = out.stdout
+    assert text.startswith("[[[")
+    # 18^3 values in the ghost-padded grid
+    n_vals = text.count(",") + text.count("]\n[") + 1
+    rows = text.count("]\n")
+    assert rows == 18 * 18 + 18 + 1   # one ']\n' per z-row, per y-plane, per grid

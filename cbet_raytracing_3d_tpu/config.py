@@ -91,6 +91,12 @@ class Config:
     deposit_box_y: int = 32
     deposit_box_z: int = 32
     tiles_per_block: int = 8          # tiles per Pallas grid step (overhead amortization)
+    # batch this many steps' deposits into one kernel call (contraction over
+    # batch*rays_per_tile rows, one box RMW and one grid pass per batch);
+    # silently falls back to 1 when it doesn't divide the chunk lengths.
+    # Larger batches grow the kernel's M matrix (batch*rays_per_tile x
+    # V_box_xy) — 25 OOMs VMEM, 5 measured ~4% faster than 1
+    deposit_batch_steps: int = 5
 
     @property
     def deposit_box(self) -> tuple:

@@ -294,6 +294,55 @@ def resolve_deposit_backend(cfg: Config) -> str:
     return "pallas" if (on_tpu and cfg.nz + 2 <= 128) else "scatter"
 
 
+def make_deferred_step_fn(cfg: Config):
+    """Step variant for batched deposition: advances the state and returns
+    the deposit inputs (cell, frac, masked increment) instead of depositing.
+    Physics identical to make_step_fn."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    tol = cfg.cell_tol
+    stop_frac = cfg.stop_fraction
+    absorption = cfg.absorption
+    nvec = (nx, ny, nz)
+
+    def step(state: RayState, field4: jnp.ndarray):
+        dtype = state.uray.dtype
+        vel = tuple(state.vel[ax] - state.kick[ax] for ax in range(3))
+        frac = tuple(state.frac[ax] + vel[ax] for ax in range(3))
+        dsel = tuple(_reindex_axis(state.cell[ax], frac[ax], nvec[ax], tol)
+                     for ax in range(3))
+        cell = tuple(state.cell[ax] + dsel[ax] for ax in range(3))
+        frac = tuple(frac[ax] - dsel[ax].astype(dtype) for ax in range(3))
+        flat2 = (cell[0] * ny + cell[1]) * nz + cell[2]
+        rows = jnp.take(field4, flat2, axis=0)
+        kick = tuple(rows[:, ax] for ax in range(3))
+        if absorption:
+            increment = rows[:, 3] * state.uray
+            uray = state.uray - increment
+        else:
+            increment = state.uray
+            uray = state.uray
+        inc_masked = jnp.where(state.alive, increment, jnp.asarray(0, dtype))
+        out = jnp.zeros_like(state.alive)
+        for ax in range(3):
+            t = cell[ax].astype(dtype) + frac[ax]
+            out |= (t < -0.5) | (t > nvec[ax] - 0.5)
+        dead = (uray <= stop_frac * state.uray_init) | out
+        alive = state.alive & jnp.logical_not(dead)
+        keep = state.alive
+        new_state = RayState(
+            frac=tuple(jnp.where(keep, frac[ax], state.frac[ax]) for ax in range(3)),
+            vel=tuple(jnp.where(keep, vel[ax], state.vel[ax]) for ax in range(3)),
+            kick=tuple(jnp.where(keep, kick[ax], state.kick[ax]) for ax in range(3)),
+            uray=jnp.where(keep, uray, state.uray),
+            uray_init=state.uray_init,
+            cell=tuple(jnp.where(keep, cell[ax], state.cell[ax]) for ax in range(3)),
+            alive=alive,
+        )
+        return new_state, (cell, frac, inc_masked)
+
+    return step
+
+
 def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     """Build the pure per-step function
     ``(state, edep3d) -> (state, edep3d, overflow)``.
@@ -391,6 +440,18 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     n_chunks = -(-cfg.nt // chunk)          # ceil
     last_chunk = cfg.nt - (n_chunks - 1) * chunk
 
+    batch = cfg.deposit_batch_steps
+    if batch > 1 and pallas and (chunk % batch or last_chunk % batch):
+        batch = 1        # fall back rather than constrain chunk choices
+    if batch > 1 and pallas:
+        dstep = make_deferred_step_fn(cfg)
+        batched_deposit = make_tile_deposit(
+            cfg.nx, cfg.ny, cfg.nz, rays_per_tile * batch,
+            box=cfg.deposit_box, tiles_per_block=cfg.tiles_per_block,
+            interpret=backend == "pallas_interpret")
+    else:
+        batch = 1
+
     def trace(field4, state0: RayState):
         compute_dtype = state0.uray.dtype
         # canonicalize: float64 silently degrades to float32 when x64 is off
@@ -406,9 +467,31 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
                 state2, edep32, of_step = step(state2, edep32, field4)
                 return (state2, edep32, of2 + of_step), None
 
+            def inner_batched(carry2, _):
+                # advance `batch` steps collecting deposit inputs, then one
+                # kernel call with contraction over batch*rays_per_tile rows
+                state2, edep32, of2 = carry2
+
+                def mini(st, _):
+                    st, (cell, frac, inc) = dstep(st, field4)
+                    return st, (*cell, *frac, inc)
+
+                state2, ys = jax.lax.scan(mini, state2, None, length=batch)
+
+                def rearrange(a):       # (batch, N) -> tile-major (N*batch,)
+                    return (a.reshape(batch, -1, rays_per_tile)
+                            .transpose(1, 0, 2).reshape(-1))
+
+                args = [rearrange(a) for a in ys]
+                edep32, of_d = batched_deposit(edep32, *args)
+                return (state2, edep32, of2 + of_d), None
+
             edep32 = jnp.zeros(shape3, compute_dtype)
 
             def run_inner(n_steps):
+                if batch > 1:
+                    return jax.lax.scan(inner_batched, (state, edep32, oflow),
+                                        None, length=n_steps // batch)[0]
                 return jax.lax.scan(inner, (state, edep32, oflow), None,
                                     length=n_steps)[0]
 

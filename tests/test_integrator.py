@@ -187,3 +187,24 @@ def test_high_res_fallback_smoke(profiles):
     assert np.isfinite(m).all()
     assert m.sum() > 0
     assert int(of) == 0
+
+
+def test_deposit_batch_steps_matches_inline(ctx64, profiles):
+    """deposit_batch_steps>1 (batched kernel calls) must reproduce the
+    per-step inline deposition."""
+    cfg = ctx64.cfg.replace(tiles_per_block=1, deposit_batch_steps=5,
+                            chunk_steps=25)
+    rpt = ctx64.layout.rays_per_tile
+    tile0 = 30 * rpt
+    idx = np.arange(tile0, tile0 + 2 * rpt)
+    s0 = rt.select_rays(ctx64.state0, idx)
+    f432 = ctx64.field4.astype(jnp.float32)
+    fn_b = jax.jit(rt.make_trace_fn(cfg, rpt, backend="pallas_interpret"))
+    edep_b, _, of = fn_b(f432, _cast32(s0))
+    assert int(of) == 0
+    cfg1 = cfg.replace(deposit_batch_steps=1)
+    fn_1 = jax.jit(rt.make_trace_fn(cfg1, rpt, backend="pallas_interpret"))
+    edep_1, _, _ = fn_1(f432, _cast32(s0))
+    eb, e1 = np.asarray(edep_b, np.float64), np.asarray(edep_1, np.float64)
+    rel_l2 = np.linalg.norm(eb - e1) / np.linalg.norm(e1)
+    assert rel_l2 < 1e-6, rel_l2   # same deposits, different summation order

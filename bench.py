@@ -50,7 +50,7 @@ def main() -> int:
     t_first = time.perf_counter() - t0
 
     times = []
-    for _ in range(3):
+    for _ in range(5):   # tunnel variance is ~10%; take the min of 5
         t0 = time.perf_counter()
         edep, state, oflow = fn(ctx.field4, state0)
         edep_h = jax.device_get(edep)

@@ -42,8 +42,8 @@ from .. import constants as k
 from ..beams import RayInit, init_rays, load_beam_norms, power_table
 from ..config import Config
 from ..fields import Fields, build_fields
-from ..ops.pallas_deposit import (ZLANES, edep_zpad_shape,
-                                  finalize_edep, make_tile_deposit)
+from ..ops.pallas_deposit import (edep_zpad_shape, finalize_edep,
+                                  make_tile_deposit)
 from ..profiles import RadialProfiles, load_profiles
 
 

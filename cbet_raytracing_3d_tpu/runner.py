@@ -20,7 +20,7 @@ from .config import Config
 from .models import raytracer as rt
 from .models.cbet import cbet_solve
 from .parallel import sharding as sh
-from .utils.output import dump_print_format, save_hdf5, save_npz, HAVE_H5PY
+from .utils.output import save_hdf5, save_npz, HAVE_H5PY
 from .utils.timers import PhaseTimers
 
 

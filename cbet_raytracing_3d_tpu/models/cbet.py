@@ -318,7 +318,7 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     zero_gain = jnp.zeros((nb, P), jnp.dtype(cfg.dtype))
 
     edep, intensity, state, oflow = trace(ctx.field4, zero_gain, bid, state0)
-    assert int(oflow) == 0
+    rt.check_overflow(int(jax.device_get(oflow)), cfg)
     history = []
     converged = False
     it = 0
@@ -328,7 +328,7 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     for it in range(1, cfg.cbet_max_iters + 1):
         gain = gain_fn(intensity.astype(jnp.float32)).astype(zero_gain.dtype)
         edep, i_new, state, oflow = trace(ctx.field4, gain, bid, state0)
-        assert int(oflow) == 0
+        rt.check_overflow(int(jax.device_get(oflow)), cfg)
         scale = float(jnp.max(jnp.abs(intensity)))
         delta = float(jnp.max(jnp.abs(i_new - intensity))) / max(scale, 1e-300)
         history.append(delta)
@@ -341,7 +341,7 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
         intensity = (cfg.cbet_relax * i_new
                      + (1.0 - cfg.cbet_relax) * intensity)
 
-    stats = rt.trace_stats(ctx, state)
+    stats = rt.trace_stats(ctx, state, state0)
     return CbetResult(
         edep=np.asarray(jax.device_get(edep), np.float64),
         intensity=np.asarray(jax.device_get(intensity), np.float64).reshape(

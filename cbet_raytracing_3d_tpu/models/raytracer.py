@@ -570,8 +570,18 @@ def trace(ctx: TraceContext, backend: str | None = None):
     state0 = pad_rays(select_rays(ctx.state0, ctx.live_slots),
                       ctx.layout.rays_per_tile * ctx.cfg.tiles_per_block)
     edep, state, oflow = fn(ctx.field4, state0)
-    assert int(oflow) == 0, f"deposit box overflow: {int(oflow)} deposits lost"
+    check_overflow(int(jax.device_get(oflow)), ctx.cfg)
     return np.asarray(jax.device_get(edep), dtype=np.float64), state
+
+
+def check_overflow(oflow: int, cfg: Config) -> None:
+    """Raise on deposit-box overflow — silent data loss must never pass.
+
+    A RuntimeError (not ``assert``) so the guard survives ``python -O``."""
+    if oflow:
+        raise RuntimeError(
+            f"deposit box overflow: {oflow} deposits lost — raise "
+            f"Config.deposit_box (currently {cfg.deposit_box})")
 
 
 def trace_stats(ctx: TraceContext, state: RayState,
@@ -580,9 +590,17 @@ def trace_stats(ctx: TraceContext, state: RayState,
     accounting and energy bookkeeping.
 
     ``state0`` is the initial state actually traced (it may be a live-tile
-    subset of ``ctx.state0``, possibly padded); defaults to ``ctx.state0``."""
+    subset of ``ctx.state0``, possibly padded); defaults to ``ctx.state0``,
+    which is only valid when the final state has the same slot count —
+    passing a compacted/padded final state without its matching ``state0``
+    would silently misalign the slot-for-slot accounting, so that raises."""
     if state0 is None:
         state0 = ctx.state0
+        if state0.n != state.uray.shape[0]:
+            raise ValueError(
+                f"final state has {state.uray.shape[0]} slots but ctx.state0 "
+                f"has {state0.n}: the trace used a compacted/padded ray "
+                "subset — pass the matching state0 explicitly")
     launched_mask = np.asarray(state0.alive)
     ns = min(launched_mask.shape[0], state.uray.shape[0])
     launched_mask = launched_mask[:ns]

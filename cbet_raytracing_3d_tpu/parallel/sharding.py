@@ -97,5 +97,6 @@ def run_sharded(ctx: TraceContext, mesh: Mesh | None = None,
                       * ctx.cfg.tiles_per_block)
     fn = make_sharded_trace_fn(ctx.cfg, mesh, ctx.layout.rays_per_tile, backend)
     edep, state, oflow = fn(ctx.field4, state0)
-    assert int(oflow) == 0, f"deposit box overflow: {int(oflow)} deposits lost"
+    from ..models.raytracer import check_overflow
+    check_overflow(int(jax.device_get(oflow)), ctx.cfg)
     return np.asarray(jax.device_get(edep), dtype=np.float64), state

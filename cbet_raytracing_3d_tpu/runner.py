@@ -193,25 +193,53 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
 
 def write_outputs(res: RunResult, outdir: str, formats: tuple[str, ...] = ("npz",),
                   basename: str = "edep") -> list[str]:
+    """Persist a run.  When the run included the CBET stage, the CBET-coupled
+    deposition, per-beam intensity fields, and convergence record are written
+    alongside the uncoupled trace (npz extras / a ``*_cbet`` sibling for the
+    schema-fixed hdf5+txt formats / a "cbet" json section)."""
     os.makedirs(outdir, exist_ok=True)
+    cbet = res.cbet
     written = []
     for fmt in formats:
         path = os.path.join(outdir, f"{basename}.{fmt}")
         if fmt == "npz":
-            save_npz(path, res.cfg, res.edep, res.stats)
+            extras = {}
+            if cbet is not None:
+                extras = {"cbet_edep": cbet.edep,
+                          "cbet_intensity": cbet.intensity,
+                          "cbet_iterations": np.int64(cbet.iterations),
+                          "cbet_converged": np.bool_(cbet.converged),
+                          "cbet_history": np.asarray(cbet.history)}
+            save_npz(path, res.cfg, res.edep, res.stats, extras=extras)
         elif fmt == "hdf5":
             if not HAVE_H5PY:
                 print("warning: h5py unavailable, skipping hdf5 output",
                       file=sys.stderr)
                 continue
             save_hdf5(path, res.cfg, res.edep)
+            if cbet is not None:
+                cpath = os.path.join(outdir, f"{basename}_cbet.{fmt}")
+                save_hdf5(cpath, res.cfg, cbet.edep)
+                written.append(cpath)
         elif fmt == "txt":
             from .utils.native import write_print_dump
             write_print_dump(path, res.edep)
+            if cbet is not None:
+                cpath = os.path.join(outdir, f"{basename}_cbet.{fmt}")
+                write_print_dump(cpath, cbet.edep)
+                written.append(cpath)
         elif fmt == "json":
+            payload = {"stats": res.stats, "timings": res.timings}
+            if cbet is not None:
+                payload["cbet"] = {
+                    "iterations": cbet.iterations,
+                    "converged": cbet.converged,
+                    "history": [float(h) for h in cbet.history],
+                    "edep_total": float(cbet.edep.sum()),
+                    "stats": cbet.stats,
+                }
             with open(path, "w") as f:
-                json.dump({"stats": res.stats, "timings": res.timings}, f,
-                          indent=2)
+                json.dump(payload, f, indent=2)
         else:
             raise ValueError(f"unknown output format: {fmt}")
         written.append(path)

@@ -83,11 +83,12 @@ def edep_box_average(cfg: Config, edep_padded: np.ndarray) -> np.ndarray:
 
 
 def save_npz(path: str, cfg: Config, edep_padded: np.ndarray,
-             stats: dict | None = None) -> None:
+             stats: dict | None = None, extras: dict | None = None) -> None:
     x, y, z = coordinate_meshes(cfg)
     np.savez_compressed(
         path, edep=edep_padded, edepavg=edep_box_average(cfg, edep_padded),
         coord_x=x, coord_y=y, coord_z=z,
+        **(extras or {}),
         **({f"stat_{k}": v for k, v in (stats or {}).items()}))
 
 

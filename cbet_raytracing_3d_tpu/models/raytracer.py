@@ -139,6 +139,11 @@ class TraceContext:
     rays: RayInit                # float64 launch state (nbeams, nrays, ...)
     layout: TileLayout
     field4: jnp.ndarray          # (P, 4) interleaved kick_x/y/z + absorb fields
+                                 # (f32 rows; the TPU gather cost is linear in
+                                 # elements fetched per row — complex64 packing
+                                 # was measured 4x SLOWER in the real step
+                                 # because XLA stores complex planar and must
+                                 # gather real+imag planes separately)
     state0: RayState             # tile-ordered (n_slots,) initial state
     beam_id: np.ndarray          # (n_slots,) int32 beam of each slot (-1 padding)
     live_slots: np.ndarray       # slots of tiles with >=1 launched ray (~83%);

@@ -51,7 +51,8 @@ ZLANES = 128
 
 
 def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
-            oflow_ref, *, bx, byk, bz, nxp, nyp, nzp, tb, tiles_per_group):
+            oflow_ref, *, bx, byk, bz, nxp, nyp, nzp, tb, tiles_per_group,
+            ablate=""):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -111,52 +112,63 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
 
             # Per-axis 2-point weights as a hat function: the scheme puts
             # weight (1-d)=|p| at `base` and d at `base+s`, which equals
-            # relu(1 - |(idx - base) - s*d|) — zero outside the two target
-            # nodes by construction.  Hats are computed in f32; only the
-            # final MXU operand is cast to bf16 (one rounding per weight,
-            # ~2^-9 random sign -> ~3e-5 per node over a full-density run,
-            # under the 1e-4 bar; f32 MXU would cost ~4x).
-            def sign_d(frac):
+            # relu(1 - |idx - (base + s*d)|) — zero outside the two target
+            # nodes by construction; base+s*d folds to one per-ray constant.
+            # Hats are computed in f32; only the final MXU operand is cast
+            # to bf16 (one rounding per weight, ~2^-9 random sign -> ~3e-5
+            # per node over a full-density run, under the 1e-4 bar; f32 MXU
+            # would cost ~4x).
+            def peak_col(c, frac, origin):
+                # base + s*d as one (R,1) f32 column
                 p = frac - 0.5
                 d = 1.0 - jnp.abs(p)
                 s = jnp.where(p < 0, -1.0, 1.0)
-                return (s * d)[:, None]                      # (R,1) f32
+                return ((c + 1 - origin).astype(jnp.float32) + s * d)[:, None]
 
-            sdx = sign_d(fx)
-            sdy = sign_d(fy)
-            sdz = sign_d(fz)
+            qx = peak_col(cx, fx, x0)
+            qy = peak_col(cy, fy, y0)
+            qz = peak_col(cz, fz, z0)
 
-            def base_col(c, origin):
-                return (c + 1 - origin).astype(jnp.float32)[:, None]
-
-            bxs = base_col(cx, x0)
-            bys = base_col(cy, y0)
-            bzs = base_col(cz, z0)
-
-            def hat(idx_plane, base, sd):
-                t = (idx_plane - base) - sd
-                return jnp.maximum(1.0 - jnp.abs(t), 0.0)
+            def hat(idx_plane, q):
+                return jnp.maximum(1.0 - jnp.abs(idx_plane - q), 0.0)
 
             # M[s, x*BYK+y] = hat_x * hat_y on the collapsed index against
             # constant x/y index planes (Mosaic cannot reshape non-minor
             # dims into lanes)
             xx_of = xyidx_ref[0:1, :].astype(jnp.float32)    # (1, BX*BYK)
             yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
-            mb = (hat(xx_of, bxs, sdx)
-                  * hat(yy_of, bys, sdy)).astype(jnp.bfloat16)
+            if ablate == "no_mbuild":
+                mb = jnp.full((r, bx * byk), 0.01, jnp.bfloat16)
+            else:
+                mb = (hat(xx_of, qx) * hat(yy_of, qy)).astype(jnp.bfloat16)
             iota_z = jax.lax.broadcasted_iota(
                 jnp.int32, (r, bz), 1).astype(jnp.float32)
-            hz = hat(iota_z, bzs, sdz)
+            hz = hat(iota_z, qz)
             # wi carries the (large) increment: split hi/lo so its value
-            # keeps ~16 mantissa bits
+            # keeps ~16 mantissa bits; hi and lo ride side-by-side in the
+            # lane dim so ONE matmul covers both (the MXU pads lanes to 128
+            # either way — two bz-lane matmuls would each pay full price)
             wi = hz * inc[:, None]                           # (R, BZ) f32
             wi_hi = wi.astype(jnp.bfloat16)
             wi_lo = (wi - wi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             dn_ = (((0,), (0,)), ((), ()))
-            e = (jax.lax.dot_general(mb, wi_hi, dimension_numbers=dn_,
-                                     preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(mb, wi_lo, dimension_numbers=dn_,
-                                       preferred_element_type=jnp.float32))
+            if ablate == "no_mm":
+                e = (jnp.zeros((bx * byk, bz), jnp.float32)
+                     + mb[0:1, 0:bz].astype(jnp.float32)
+                     + wi_hi[0:1, 0:bz].astype(jnp.float32))
+            elif ablate == "no_lo":
+                e = jax.lax.dot_general(mb, wi_hi, dimension_numbers=dn_,
+                                        preferred_element_type=jnp.float32)
+            elif ablate == "two_mm":
+                e = (jax.lax.dot_general(mb, wi_hi, dimension_numbers=dn_,
+                                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(mb, wi_lo, dimension_numbers=dn_,
+                                           preferred_element_type=jnp.float32))
+            else:
+                wz = jnp.concatenate([wi_hi, wi_lo], axis=1)  # (R, 2BZ)
+                e2 = jax.lax.dot_general(mb, wz, dimension_numbers=dn_,
+                                         preferred_element_type=jnp.float32)
+                e = e2[:, :bz] + e2[:, bz:]
             # place the z-box at its lane offset: pad to 128 lanes, roll
             e128 = jnp.pad(e, ((0, 0), (0, ZLANES - bz)))
             e128 = pltpu.roll(e128, z0, 1)
@@ -173,7 +185,7 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
                       box: tuple[int, int, int] | int = (28, 24, 32),
                       tiles_per_block: int = 8,
                       n_groups: int = 1, tiles_per_group: int | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False, _ablate: str = ""):
     """Build the deposit function
     ``(edep, cx, cy, cz, fx, fy, fz, inc) -> (edep, overflow)``.
 
@@ -207,7 +219,8 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         assert edep.shape == gshape, (edep.shape, gshape)
 
         kern = functools.partial(_kernel, bx=bx, byk=byk, bz=bz, nxp=nxp,
-                                 nyp=nyp, nzp=nzp, tb=tb, tiles_per_group=tpg)
+                                 nyp=nyp, nzp=nzp, tb=tb, tiles_per_group=tpg,
+                                 ablate=_ablate)
         if grouped:
             # single-buffer the group grids: default double buffering holds
             # 2x(in+out) ~21 MB of VMEM and OOMs; the block changes only every

@@ -85,16 +85,26 @@ class Config:
     # scatter-add), "pallas_interpret" (kernel in interpreter mode, for CPU
     # tests), or "auto" (pallas on accelerators when nz+2 <= 128)
     deposit_backend: Literal["auto", "pallas", "scatter", "pallas_interpret"] = "auto"
-    tile_zones: int = 4               # launch-tile edge in zones (4 -> 256 rays/tile)
-    # Pallas deposit box edges (x, y, z): must cover a tile's whole-trace
-    # bounding extent +2 (measured max per-axis extents [23, 23, 26] for
-    # 4x4-zone tiles on the reference scene; the y box is widened +8
-    # internally for sublane alignment).  Box violations are *counted* and
-    # raise — never silently dropped.
+    # Launch-tile edge in zones.  4 (-> 256 rays/tile) is the measured sweet
+    # spot: 2-zone tiles would halve the kernel's per-ray box area (their
+    # rays stay within 19 cells per 5-step window vs 31 for 4-zone), but the
+    # ~0.5-0.7us fixed cost per Mosaic dot_general across 3.6x more tiles
+    # eats the entire win (measured; batched dot_general is no faster).
+    # Whole-trace tile extents are ~92 cells — tiles wander across the whole
+    # grid — so the kernel uses dynamic per-window box origins, not static
+    # per-tile ones.
+    tile_zones: int = 4
+    # Pallas deposit box edges (x, y, z): must cover any tile's deposit-node
+    # span within one kernel window (deposit_batch_steps steps).  Measured
+    # needs on the reference scene (5-step windows, 4-zone tiles): max 31
+    # per axis.  The y box is widened +8 internally for sublane alignment
+    # (y origin aligns down; 24+8 has covered every observed window).  Box
+    # violations are *counted* and raise — never silently dropped.
     deposit_box_x: int = 32
-    deposit_box_y: int = 32
+    deposit_box_y: int = 32     # 24 would fit every window but not the up-to-7
+                                # sublane-alignment loss (overflowed in round 1)
     deposit_box_z: int = 32
-    tiles_per_block: int = 8          # tiles per Pallas grid step (overhead amortization)
+    tiles_per_block: int = 16         # tiles per Pallas grid step (overhead amortization)
     # batch this many steps' deposits into one kernel call (contraction over
     # batch*rays_per_tile rows, one box RMW and one grid pass per batch);
     # silently falls back to 1 when it doesn't divide the chunk lengths.

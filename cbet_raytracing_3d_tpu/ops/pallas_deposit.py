@@ -50,9 +50,19 @@ from jax.experimental.pallas import tpu as pltpu
 ZLANES = 128
 
 
-def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
-            oflow_ref, *, bx, byk, bz, nxp, nyp, nzp, tb, tiles_per_group,
-            ablate=""):
+def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
+            nzp, tb, tiles_per_group, ablate=""):
+    # ungrouped: rest = (edep_out_ref, oflow_ref) — the kernel produces this
+    # call's deposits on a zeroed grid and the caller adds them to the master
+    # (saves a 5.3 MB VMEM input block -> frees room for tiles_per_block=16).
+    # grouped: rest = (edep_in_ref, edep_out_ref, oflow_ref) — per-group
+    # grids are carried through the aliased in/out pair because an XLA-level
+    # add of all group grids per call would cost nbeams x grid of HBM
+    # traffic per step.
+    if len(rest) == 2:
+        edep_in_ref, (edep_out_ref, oflow_ref) = None, rest
+    else:
+        edep_in_ref, edep_out_ref, oflow_ref = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -61,7 +71,10 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
 
     @pl.when((i * tb) % tiles_per_group == 0)
     def _init_grid():
-        edep_out_ref[...] = edep_in_ref[...]
+        if edep_in_ref is None:
+            edep_out_ref[...] = jnp.zeros_like(edep_out_ref)
+        else:
+            edep_out_ref[...] = edep_in_ref[...]
 
     def tile_body(t, _):
         cx = ints_ref[t, 0, :]
@@ -140,6 +153,8 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, edep_in_ref, edep_out_ref,
             if ablate == "no_mbuild":
                 mb = jnp.full((r, bx * byk), 0.01, jnp.bfloat16)
             else:
+                # (bf16 hat arithmetic measured SLOWER — the VPU has no 2x
+                # bf16 rate and the casts add passes)
                 mb = (hat(xx_of, qx) * hat(yy_of, qy)).astype(jnp.bfloat16)
             iota_z = jax.lax.broadcasted_iota(
                 jnp.int32, (r, bz), 1).astype(jnp.float32)
@@ -232,17 +247,19 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         else:
             gspec = pl.BlockSpec((nxp, nyp, ZLANES), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((tb, 3, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 4, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bx * byk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if grouped:
+            in_specs.append(gspec)
         grid_spec = pl.GridSpec(
             grid=(n_tiles // tb,),
-            in_specs=[
-                pl.BlockSpec((tb, 3, r), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, 4, r), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, bx * byk), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                gspec,
-            ],
+            in_specs=in_specs,
             out_specs=[
                 gspec,
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -256,22 +273,32 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         jxy = jnp.arange(bx * byk, dtype=jnp.int32)
         xyidx = jnp.stack([jxy // byk, jxy % byk])
 
-        kernel_fn = kern
         if grouped:
             # grouped grids arrive with a leading block dim of 1
             def kernel_fn(i_ref, f_ref, xy_ref, gin, gout, of):  # noqa: ANN001
                 kern(i_ref, f_ref, xy_ref, gin.at[0], gout.at[0], of)
 
-        edep_out, oflow = pl.pallas_call(
-            kernel_fn,
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct(gshape, jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            ],
-            input_output_aliases={3: 0},
-            interpret=interpret,
-        )(ints, flts, xyidx, edep)
+            edep_out, oflow = pl.pallas_call(
+                kernel_fn,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct(gshape, jnp.float32),
+                    jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                ],
+                input_output_aliases={3: 0},
+                interpret=interpret,
+            )(ints, flts, xyidx, edep)
+        else:
+            delta, oflow = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct(gshape, jnp.float32),
+                    jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                ],
+                interpret=interpret,
+            )(ints, flts, xyidx)
+            edep_out = edep + delta
         return edep_out, oflow[0, 0]
 
     return deposit

@@ -17,13 +17,15 @@ import numpy as np
 from cbet_raytracing_3d_tpu.ops.pallas_deposit import (
     ZLANES, edep_zpad_shape, make_tile_deposit)
 
+import os
+
 NX = NY = NZ = 100
-N_TILES = 4384
-BATCH = 5
-RPT = 256
+N_TILES = int(os.environ.get("BD_TILES", 4384))
+BATCH = int(os.environ.get("BD_BATCH", 5))
+RPT = int(os.environ.get("BD_RPT", 256))
 R = BATCH * RPT
-TB = 8
-BOX = (32, 24, 32)
+TB = int(os.environ.get("BD_TB", 8))
+BOX = tuple(int(v) for v in os.environ.get("BD_BOX", "32,24,32").split(","))
 K_CALLS = 10
 
 
@@ -31,8 +33,9 @@ def synth_inputs(seed=0):
     rng = np.random.default_rng(seed)
     # per-tile box centers, rays within a 24-cell extent (the measured
     # whole-trace coherence), batch steps drift by <1 cell
-    c0 = rng.integers(4, 72, size=(N_TILES, 3))
-    off = rng.integers(0, 24, size=(N_TILES, R, 3))
+    spread = min(BOX) - 3
+    c0 = rng.integers(4, 96 - spread, size=(N_TILES, 3))
+    off = rng.integers(0, spread, size=(N_TILES, R, 3))
     cells = (c0[:, None, :] + off).astype(np.int32)          # (T, R, 3)
     frac = rng.random((N_TILES, R, 3), dtype=np.float32)
     inc = (rng.random((N_TILES, R), dtype=np.float32) + 0.1) * 3e12
@@ -98,6 +101,10 @@ def main():
             dep = make_tile_deposit(NX, NY, NZ, R, box=BOX,
                                     tiles_per_block=TB, _ablate="no_mbuild")
             run("const mb (no M-build)", dep, args)
+        elif v == "bf16_hats":
+            dep = make_tile_deposit(NX, NY, NZ, R, box=BOX,
+                                    tiles_per_block=TB, _ablate="bf16_hats")
+            run("bf16 hat chain", dep, args)
         elif v == "box26":
             dep = make_tile_deposit(NX, NY, NZ, R, box=(26, 24, 28),
                                     tiles_per_block=TB)

@@ -81,10 +81,13 @@ class Config:
     dtype: Literal["float32", "float64"] = "float32"
     edep_dtype: Literal["float32", "float64"] = "float64"
     chunk_steps: int = 25             # scan-chunk length for f32->f64 promotion
-    # deposition backend: "pallas" (TPU tile-box kernel), "scatter" (XLA
-    # scatter-add), "pallas_interpret" (kernel in interpreter mode, for CPU
-    # tests), or "auto" (pallas on accelerators when nz+2 <= 128)
-    deposit_backend: Literal["auto", "pallas", "scatter", "pallas_interpret"] = "auto"
+    # deposition backend: "pallas" (TPU tile-box kernel, VMEM-resident
+    # grid), "pallas_hbm" (high-res variant: grid in HBM with per-tile
+    # window DMA — required when nz+2 > 128 lanes / the grid exceeds VMEM),
+    # "scatter" (XLA scatter-add), "*_interpret" (kernels in interpreter
+    # mode, for CPU tests), or "auto" (pick by accelerator + grid size)
+    deposit_backend: Literal["auto", "pallas", "scatter", "pallas_interpret",
+                             "pallas_hbm", "pallas_hbm_interpret"] = "auto"
     # Launch-tile edge in zones.  4 (-> 256 rays/tile) is the measured sweet
     # spot: 2-zone tiles would halve the kernel's per-ray box area (their
     # rays stay within 19 cells per 5-step window vs 31 for 4-zone), but the

@@ -155,13 +155,17 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     nb = cfg.nbeams
     d = np.array([cfg.dx, cfg.dy, cfg.dz])
 
-    pallas = backend in ("pallas", "pallas_interpret")
-    from ..ops.pallas_deposit import ZLANES, finalize_edep, make_tile_deposit
+    pallas = backend in rt.PALLAS_BACKENDS
+    from ..ops.pallas_deposit import (edep_zpad_shape, finalize_edep,
+                                      make_tile_deposit)
 
     # grouped Pallas intensity deposit requires globally beam-contiguous tile
     # indices, which per-shard grids can't see — sharded solves use the
-    # beam-offset scatter instead (see cbet_solve)
-    grouped_pallas = pallas and not intensity_scatter
+    # beam-offset scatter instead (see cbet_solve); the HBM-grid (high-res)
+    # backend has no grouped variant either (nbeams HBM grids would be fine
+    # but per-beam window DMA per step is not built yet)
+    grouped_pallas = (pallas and not intensity_scatter
+                      and not backend.startswith("pallas_hbm"))
     if grouped_pallas:
         ideposit = make_tile_deposit(
             nx, ny, nz, ctx.layout.rays_per_tile, box=cfg.deposit_box,
@@ -174,7 +178,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     last_chunk = cfg.nt - (n_chunks - 1) * chunk
 
     def make():
-        shape3 = (cfg.nx + 2, cfg.ny + 2, ZLANES) if pallas else cfg.edep_shape
+        shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
+                  else cfg.edep_shape)
         ishape = ((nb,) + shape3 if grouped_pallas
                   else (nb,) + cfg.edep_shape)
 
@@ -261,9 +266,9 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 steps_per_chunk)
 
             if pallas:
-                edep = finalize_edep(edep, cfg.nz)
+                edep = finalize_edep(edep, cfg.ny, cfg.nz)
             if grouped_pallas:
-                ibeams = finalize_edep(ibeams, cfg.nz)
+                ibeams = finalize_edep(ibeams, cfg.ny, cfg.nz)
             # crop ghosts -> per-beam node fields (B, P)
             inodes = ibeams[:, 1:-1, 1:-1, 1:cfg.nz + 1].reshape(nb, P)
             return edep, inodes, state, oflow

@@ -42,9 +42,28 @@ from .. import constants as k
 from ..beams import RayInit, init_rays, load_beam_norms, power_table
 from ..config import Config
 from ..fields import Fields, build_fields
-from ..ops.pallas_deposit import (edep_zpad_shape, finalize_edep,
-                                  make_tile_deposit)
+from ..ops.pallas_deposit import (ZLANES, edep_zpad_shape, finalize_edep,
+                                  make_tile_deposit, make_tile_deposit_hbm)
 from ..profiles import RadialProfiles, load_profiles
+
+#: deposit backends that use the Pallas tile-box kernels (grid carried
+#: z-lane-padded); the ``_hbm`` variants keep the grid in HBM with per-tile
+#: window DMA — required when nz+2 > 128 (the grid no longer fits VMEM)
+PALLAS_BACKENDS = ("pallas", "pallas_interpret",
+                   "pallas_hbm", "pallas_hbm_interpret")
+
+
+def _make_deposit_fn(cfg: Config, rows_per_tile: int, backend: str):
+    """Deposit builder for a Pallas backend, at ``rows_per_tile`` contraction
+    rows per tile (rays_per_tile * deposit batch)."""
+    interpret = backend.endswith("_interpret")
+    if backend.startswith("pallas_hbm"):
+        return make_tile_deposit_hbm(
+            cfg.nx, cfg.ny, cfg.nz, rows_per_tile, box=cfg.deposit_box,
+            tiles_per_block=cfg.tiles_per_block, interpret=interpret)
+    return make_tile_deposit(
+        cfg.nx, cfg.ny, cfg.nz, rows_per_tile, box=cfg.deposit_box,
+        tiles_per_block=cfg.tiles_per_block, interpret=interpret)
 
 
 @jax.tree_util.register_dataclass
@@ -296,7 +315,9 @@ def resolve_deposit_backend(cfg: Config) -> str:
     if cfg.deposit_backend != "auto":
         return cfg.deposit_backend
     on_tpu = jax.default_backend() not in ("cpu",)
-    return "pallas" if (on_tpu and cfg.nz + 2 <= 128) else "scatter"
+    if not on_tpu:
+        return "scatter"
+    return "pallas" if cfg.nz + 2 <= ZLANES else "pallas_hbm"
 
 
 def make_deferred_step_fn(cfg: Config):
@@ -361,11 +382,8 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     nvec = (nx, ny, nz)
     if backend is None:
         backend = resolve_deposit_backend(cfg)
-    if backend in ("pallas", "pallas_interpret"):
-        tile_deposit = make_tile_deposit(nx, ny, nz, rays_per_tile,
-                                         box=cfg.deposit_box,
-                                         tiles_per_block=cfg.tiles_per_block,
-                                         interpret=backend == "pallas_interpret")
+    if backend in PALLAS_BACKENDS:
+        tile_deposit = _make_deposit_fn(cfg, rays_per_tile, backend)
 
     def step(state: RayState, edep3d: jnp.ndarray, field4: jnp.ndarray):
         dtype = state.uray.dtype
@@ -394,7 +412,7 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
             uray = state.uray
 
         inc_masked = jnp.where(state.alive, increment, jnp.asarray(0, dtype))
-        if backend in ("pallas", "pallas_interpret"):
+        if backend in PALLAS_BACKENDS:
             edep3d, oflow = tile_deposit(edep3d, *cell, *frac, inc_masked)
         else:
             edep3d = _scatter_deposit(cfg, edep3d, cell, frac, inc_masked)
@@ -437,8 +455,8 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     if backend is None:
         backend = resolve_deposit_backend(cfg)
     step = make_step_fn(cfg, rays_per_tile, backend)
-    pallas = backend in ("pallas", "pallas_interpret")
-    # the Pallas kernel carries the grid z-lane-padded to 128
+    pallas = backend in PALLAS_BACKENDS
+    # the Pallas kernels carry the grid z-lane-padded (to a 128 multiple)
     shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
               else (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2))
     chunk = max(1, min(cfg.chunk_steps, cfg.nt))
@@ -450,10 +468,8 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
         batch = 1        # fall back rather than constrain chunk choices
     if batch > 1 and pallas:
         dstep = make_deferred_step_fn(cfg)
-        batched_deposit = make_tile_deposit(
-            cfg.nx, cfg.ny, cfg.nz, rays_per_tile * batch,
-            box=cfg.deposit_box, tiles_per_block=cfg.tiles_per_block,
-            interpret=backend == "pallas_interpret")
+        batched_deposit = _make_deposit_fn(cfg, rays_per_tile * batch,
+                                           backend)
     else:
         batch = 1
 
@@ -524,7 +540,7 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
         (state, master, oflow), _ = jax.lax.scan(
             chunk_body, (state0, master, jnp.int32(0)), steps_per_chunk)
         if pallas:
-            master = finalize_edep(master, cfg.nz)
+            master = finalize_edep(master, cfg.ny, cfg.nz)
         return master, state, oflow
 
     return trace
@@ -537,7 +553,7 @@ def make_chunk_fn(cfg: Config, rays_per_tile: int, n_steps: int,
     if backend is None:
         backend = resolve_deposit_backend(cfg)
     step = make_step_fn(cfg, rays_per_tile, backend)
-    pallas = backend in ("pallas", "pallas_interpret")
+    pallas = backend in PALLAS_BACKENDS
     shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
               else (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2))
 
@@ -560,10 +576,10 @@ def trace_shapes(cfg: Config, backend: str | None = None):
     """(master grid shape, finalize fn) for the resolved backend."""
     if backend is None:
         backend = resolve_deposit_backend(cfg)
-    pallas = backend in ("pallas", "pallas_interpret")
+    pallas = backend in PALLAS_BACKENDS
     if pallas:
         return (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz),
-                lambda e: finalize_edep(e, cfg.nz))
+                lambda e: finalize_edep(e, cfg.ny, cfg.nz))
     return (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2), (lambda e: e)
 
 

@@ -78,118 +78,191 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
 
     def tile_body(t, _):
         cx = ints_ref[t, 0, :]
-        cy = ints_ref[t, 1, :]
-        cz = ints_ref[t, 2, :]
-        fx = flts_ref[t, 0, :]
-        fy = flts_ref[t, 1, :]
-        fz = flts_ref[t, 2, :]
         inc = flts_ref[t, 3, :]
         live = inc > 0.0
-
         big = jnp.int32(10000)
         ox = jnp.min(jnp.where(live, cx, big))
-        oy = jnp.min(jnp.where(live, cy, big))
-        oz = jnp.min(jnp.where(live, cz, big))
 
         @pl.when(ox < big)
         def _deposit():
-            # box origins: x free (outer dim); y aligned down to the sublane
-            # boundary; z clipped so the BZ-lane box always covers [oz, nzp)
-            # within the 128-lane frame after the roll
-            x0 = jnp.clip(ox, 0, nxp - bx)
-            y0 = jnp.clip((oy // 8) * 8, 0, nyp - byk)
-            z0 = jnp.clip(oz, 0, ZLANES - bz)
-
-            r = cx.shape[0]
-
-            def axis_weights(c, frac, origin):
-                # per-axis 2-point weights (launch_ray_XZ.cu:319-339): base
-                # node cell+1 gets (1-d), signed neighbor cell+1+s gets d,
-                # with p = frac - 0.5, d = 1 - |p|
-                p = frac - 0.5
-                d = 1.0 - jnp.abs(p)
-                s = jnp.where(p < 0, -1, 1).astype(jnp.int32)
-                base = c + 1 - origin
-                return base, base + s, d
-
-            xb, xn, dx_ = axis_weights(cx, fx, x0)
-            yb, yn, dy_ = axis_weights(cy, fy, y0)
-            zb, zn, dz_ = axis_weights(cz, fz, z0)
-
-            def inside(b, nb, width):
-                return (b >= 0) & (b < width) & (nb >= 0) & (nb < width)
-
-            bad = live & ~(inside(xb, xn, bx) & inside(yb, yn, byk)
-                           & inside(zb, zn, bz))
-            oflow_ref[0, 0] += jnp.sum(bad.astype(jnp.int32))
-
-            # Per-axis 2-point weights as a hat function: the scheme puts
-            # weight (1-d)=|p| at `base` and d at `base+s`, which equals
-            # relu(1 - |idx - (base + s*d)|) — zero outside the two target
-            # nodes by construction; base+s*d folds to one per-ray constant.
-            # Hats are computed in f32; only the final MXU operand is cast
-            # to bf16 (one rounding per weight, ~2^-9 random sign -> ~3e-5
-            # per node over a full-density run, under the 1e-4 bar; f32 MXU
-            # would cost ~4x).
-            def peak_col(c, frac, origin):
-                # base + s*d as one (R,1) f32 column
-                p = frac - 0.5
-                d = 1.0 - jnp.abs(p)
-                s = jnp.where(p < 0, -1.0, 1.0)
-                return ((c + 1 - origin).astype(jnp.float32) + s * d)[:, None]
-
-            qx = peak_col(cx, fx, x0)
-            qy = peak_col(cy, fy, y0)
-            qz = peak_col(cz, fz, z0)
-
-            def hat(idx_plane, q):
-                return jnp.maximum(1.0 - jnp.abs(idx_plane - q), 0.0)
-
-            # M[s, x*BYK+y] = hat_x * hat_y on the collapsed index against
-            # constant x/y index planes (Mosaic cannot reshape non-minor
-            # dims into lanes)
-            xx_of = xyidx_ref[0:1, :].astype(jnp.float32)    # (1, BX*BYK)
-            yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
-            if ablate == "no_mbuild":
-                mb = jnp.full((r, bx * byk), 0.01, jnp.bfloat16)
-            else:
-                # (bf16 hat arithmetic measured SLOWER — the VPU has no 2x
-                # bf16 rate and the casts add passes)
-                mb = (hat(xx_of, qx) * hat(yy_of, qy)).astype(jnp.bfloat16)
-            iota_z = jax.lax.broadcasted_iota(
-                jnp.int32, (r, bz), 1).astype(jnp.float32)
-            hz = hat(iota_z, qz)
-            # wi carries the (large) increment: split hi/lo so its value
-            # keeps ~16 mantissa bits; hi and lo ride side-by-side in the
-            # lane dim so ONE matmul covers both (the MXU pads lanes to 128
-            # either way — two bz-lane matmuls would each pay full price)
-            wi = hz * inc[:, None]                           # (R, BZ) f32
-            wi_hi = wi.astype(jnp.bfloat16)
-            wi_lo = (wi - wi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dn_ = (((0,), (0,)), ((), ()))
-            if ablate == "no_mm":
-                e = (jnp.zeros((bx * byk, bz), jnp.float32)
-                     + mb[0:1, 0:bz].astype(jnp.float32)
-                     + wi_hi[0:1, 0:bz].astype(jnp.float32))
-            elif ablate == "no_lo":
-                e = jax.lax.dot_general(mb, wi_hi, dimension_numbers=dn_,
-                                        preferred_element_type=jnp.float32)
-            elif ablate == "two_mm":
-                e = (jax.lax.dot_general(mb, wi_hi, dimension_numbers=dn_,
-                                         preferred_element_type=jnp.float32)
-                     + jax.lax.dot_general(mb, wi_lo, dimension_numbers=dn_,
-                                           preferred_element_type=jnp.float32))
-            else:
-                wz = jnp.concatenate([wi_hi, wi_lo], axis=1)  # (R, 2BZ)
-                e2 = jax.lax.dot_general(mb, wz, dimension_numbers=dn_,
-                                         preferred_element_type=jnp.float32)
-                e = e2[:, :bz] + e2[:, bz:]
-            # place the z-box at its lane offset: pad to 128 lanes, roll
-            e128 = jnp.pad(e, ((0, 0), (0, ZLANES - bz)))
-            e128 = pltpu.roll(e128, z0, 1)
-            box = e128.reshape(bx, byk, ZLANES)
+            box, x0, y0, bad = _tile_ebox(
+                [ints_ref[t, a, :] for a in range(3)],
+                [flts_ref[t, a, :] for a in range(4)],
+                xyidx_ref, zframe0=0, zmax=ZLANES, bx=bx, byk=byk, bz=bz,
+                nxp=nxp, nyp=nyp, ablate=ablate)
+            oflow_ref[0, 0] += bad
             cur = edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :]
             edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :] = cur + box
+
+        return 0
+
+    jax.lax.fori_loop(0, tb, tile_body, 0)
+
+
+def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
+               nxp, nyp, frame=ZLANES, ablate=""):
+    """One tile's deposit box: per-axis hat weights contracted over rays on
+    the MXU.  Takes the tile's loaded (R,) cell/frac/inc vectors (loaded, not
+    ref slices — Mosaic memref slicing needs 128-aligned lane dims).
+    Returns ``(box (bx, byk, 128) f32, x0, y0, bad_count)`` where the z box
+    sits at lanes ``[z0 - zframe0, ...)`` of the 128-lane frame whose global
+    z origin is ``zframe0`` (0 for the VMEM-resident grid; the DMA window
+    origin for the HBM-grid kernel).  ``zmax`` bounds the global z origin
+    (ZLANES resp. the padded z size)."""
+    cx, cy, cz = ints_t
+    fx, fy, fz, inc = flts_t
+    live = inc > 0.0
+
+    big = jnp.int32(10000)
+    ox = jnp.min(jnp.where(live, cx, big))
+    oy = jnp.min(jnp.where(live, cy, big))
+    oz = jnp.min(jnp.where(live, cz, big))
+
+    # box origins: x free (outer dim); y aligned down to the sublane
+    # boundary; z clipped so the BZ-lane box always covers [oz, nzp)
+    # within its 128-lane frame
+    x0 = jnp.clip(ox, 0, nxp - bx)
+    y0 = jnp.clip((oy // 8) * 8, 0, nyp - byk)
+    z0 = jnp.clip(oz, 0, zmax - bz)
+
+    r = cx.shape[0]
+
+    def axis_weights(c, frac, origin):
+        # per-axis 2-point weights (launch_ray_XZ.cu:319-339): base
+        # node cell+1 gets (1-d), signed neighbor cell+1+s gets d,
+        # with p = frac - 0.5, d = 1 - |p|
+        p = frac - 0.5
+        d = 1.0 - jnp.abs(p)
+        s = jnp.where(p < 0, -1, 1).astype(jnp.int32)
+        base = c + 1 - origin
+        return base, base + s, d
+
+    xb, xn, _ = axis_weights(cx, fx, x0)
+    yb, yn, _ = axis_weights(cy, fy, y0)
+    zb, zn, _ = axis_weights(cz, fz, z0)
+
+    def inside(b, nb, width):
+        return (b >= 0) & (b < width) & (nb >= 0) & (nb < width)
+
+    bad = live & ~(inside(xb, xn, bx) & inside(yb, yn, byk)
+                   & inside(zb, zn, bz))
+    bad_count = jnp.sum(bad.astype(jnp.int32))
+
+    # Per-axis 2-point weights as a hat function: the scheme puts
+    # weight (1-d)=|p| at `base` and d at `base+s`, which equals
+    # relu(1 - |idx - (base + s*d)|) — zero outside the two target
+    # nodes by construction; base+s*d folds to one per-ray constant.
+    # Hats are computed in f32; only the final MXU operand is cast
+    # to bf16 (one rounding per weight, ~2^-9 random sign -> ~3e-5
+    # per node over a full-density run, under the 1e-4 bar; f32 MXU
+    # would cost ~4x).
+    def peak_col(c, frac, origin):
+        # base + s*d as one (R,1) f32 column
+        p = frac - 0.5
+        d = 1.0 - jnp.abs(p)
+        s = jnp.where(p < 0, -1.0, 1.0)
+        return ((c + 1 - origin).astype(jnp.float32) + s * d)[:, None]
+
+    qx = peak_col(cx, fx, x0)
+    qy = peak_col(cy, fy, y0)
+    qz = peak_col(cz, fz, z0)
+
+    def hat(idx_plane, q):
+        return jnp.maximum(1.0 - jnp.abs(idx_plane - q), 0.0)
+
+    # M[s, x*BYK+y] = hat_x * hat_y on the collapsed index against
+    # constant x/y index planes (Mosaic cannot reshape non-minor
+    # dims into lanes)
+    xx_of = xyidx_ref[0:1, :].astype(jnp.float32)    # (1, BX*BYK)
+    yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
+    if ablate == "no_mbuild":
+        mb = jnp.full((r, bx * byk), 0.01, jnp.bfloat16)
+    else:
+        # (bf16 hat arithmetic measured SLOWER — the VPU has no 2x
+        # bf16 rate and the casts add passes)
+        mb = (hat(xx_of, qx) * hat(yy_of, qy)).astype(jnp.bfloat16)
+    iota_z = jax.lax.broadcasted_iota(
+        jnp.int32, (r, bz), 1).astype(jnp.float32)
+    hz = hat(iota_z, qz)
+    # wi carries the (large) increment: split hi/lo so its value
+    # keeps ~16 mantissa bits; hi and lo ride side-by-side in the
+    # lane dim so ONE matmul covers both (the MXU pads lanes to 128
+    # either way — two bz-lane matmuls would each pay full price)
+    wi = hz * inc[:, None]                           # (R, BZ) f32
+    wi_hi = wi.astype(jnp.bfloat16)
+    wi_lo = (wi - wi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn_ = (((0,), (0,)), ((), ()))
+    if ablate == "no_mm":
+        e = (jnp.zeros((bx * byk, bz), jnp.float32)
+             + mb[0:1, 0:bz].astype(jnp.float32)
+             + wi_hi[0:1, 0:bz].astype(jnp.float32))
+    elif ablate == "no_lo":
+        e = jax.lax.dot_general(mb, wi_hi, dimension_numbers=dn_,
+                                preferred_element_type=jnp.float32)
+    elif ablate == "two_mm":
+        e = (jax.lax.dot_general(mb, wi_hi, dimension_numbers=dn_,
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(mb, wi_lo, dimension_numbers=dn_,
+                                   preferred_element_type=jnp.float32))
+    else:
+        wz = jnp.concatenate([wi_hi, wi_lo], axis=1)  # (R, 2BZ)
+        e2 = jax.lax.dot_general(mb, wz, dimension_numbers=dn_,
+                                 preferred_element_type=jnp.float32)
+        e = e2[:, :bz] + e2[:, bz:]
+    # place the z-box at its lane offset within the frame: pad, roll
+    ef = jnp.pad(e, ((0, 0), (0, frame - bz)))
+    ef = pltpu.roll(ef, z0 - zframe0, 1)
+    return ef.reshape(bx, byk, frame), x0, y0, bad_count
+
+
+def _kernel_hbm(ints_ref, flts_ref, xyidx_ref, edep_hbm_ref, oflow_ref,
+                slab_ref, sem_in, sem_out, *, bx, byk, bz, nxp, nyp, zp,
+                tb):
+    """High-resolution variant: the deposition grid lives in HBM (it exceeds
+    VMEM at 2x grid resolution) and each tile's (bx, byk, 256) window is
+    DMA'd in, updated, and DMA'd back.  The z window is two 128-lane frames
+    at a 128-aligned origin (DMA minor-dim slices must be provably
+    128-aligned), so a bz<=64 box straddling a frame boundary always fits.
+    Tiles run sequentially on the one core, so overlapping windows are
+    ordered by construction (each out-DMA completes before the next in-DMA
+    starts)."""
+    i = pl.program_id(0)
+    zwin = 2 * ZLANES
+
+    @pl.when(i == 0)
+    def _init_oflow():
+        oflow_ref[0, 0] = jnp.int32(0)
+
+    def tile_body(t, _):
+        cx = ints_ref[t, 0, :]
+        cz = ints_ref[t, 2, :]
+        inc = flts_ref[t, 3, :]
+        live = inc > 0.0
+        big = jnp.int32(10000)
+        ox = jnp.min(jnp.where(live, cx, big))
+
+        @pl.when(ox < big)
+        def _deposit():
+            oz = jnp.min(jnp.where(live, cz, big))
+            z0 = jnp.clip(oz, 0, zp - bz)
+            zw = jnp.clip((z0 // ZLANES) * ZLANES, 0, zp - zwin)
+            zw = pl.multiple_of(zw, ZLANES)
+            box, x0, y0, bad = _tile_ebox(
+                [ints_ref[t, a, :] for a in range(3)],
+                [flts_ref[t, a, :] for a in range(4)],
+                xyidx_ref, zframe0=zw, zmax=zp, bx=bx, byk=byk, bz=bz,
+                nxp=nxp, nyp=nyp, frame=zwin)
+            y0 = pl.multiple_of(y0, 8)
+            oflow_ref[0, 0] += bad
+            window = edep_hbm_ref.at[pl.ds(x0, bx), pl.ds(y0, byk),
+                                     pl.ds(zw, zwin)]
+            cp_in = pltpu.make_async_copy(window, slab_ref, sem_in)
+            cp_in.start()
+            cp_in.wait()
+            slab_ref[...] += box
+            cp_out = pltpu.make_async_copy(slab_ref, window, sem_out)
+            cp_out.start()
+            cp_out.wait()
 
         return 0
 
@@ -206,19 +279,22 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
 
     Per-ray inputs are flat (n_tiles*rays_per_tile,) int32/float32 arrays in
     tile order; ``inc`` must already be zero for dead/masked rays.  ``edep``
-    is the z-lane-padded grid, shape (nx+2, ny+2, 128) — or
-    (n_groups, nx+2, ny+2, 128) when grouped — float32; use
-    :func:`edep_shape`/:func:`finalize_edep` for allocation and unpadding.
-    """
+    is the y/z-padded grid of :func:`edep_zpad_shape` — with a leading
+    (n_groups,) dim when grouped — float32; use :func:`finalize_edep` to
+    unpad."""
     nxp, nyp, nzp = nx + 2, ny + 2, nz + 2
     if nzp > ZLANES:
         raise NotImplementedError(
-            f"tile deposit kernel requires nz+2 <= {ZLANES} lanes, got {nzp}; "
-            "use deposit_backend='scatter'")
+            f"VMEM tile deposit kernel requires nz+2 <= {ZLANES} lanes, got "
+            f"{nzp}; use make_tile_deposit_hbm (deposit_backend='pallas_hbm')")
     if isinstance(box, int):
         box = (box, box, box)
+    yp = edep_zpad_shape(nx, ny, nz)[1]
     bx = min(box[0], nxp)
-    byk = min(box[1] + 8, nyp)  # +8: y origin is aligned down to the sublane
+    # +8: the y origin is aligned down to the sublane boundary; byk itself is
+    # kept a multiple of 8 so the origin's upper clip (yp - byk) stays
+    # 8-aligned
+    byk = min(-(-(box[1] + 8) // 8) * 8, yp)
     bz = min(box[2], ZLANES)
     r = rays_per_tile
     tb = tiles_per_block
@@ -229,23 +305,23 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         tpg = tiles_per_group if n_groups > 1 else n_tiles
         assert tpg % tb == 0, (tpg, tb)
         grouped = n_groups > 1
-        gshape = ((n_groups, nxp, nyp, ZLANES) if grouped
-                  else (nxp, nyp, ZLANES))
+        gshape = ((n_groups, nxp, yp, ZLANES) if grouped
+                  else (nxp, yp, ZLANES))
         assert edep.shape == gshape, (edep.shape, gshape)
 
         kern = functools.partial(_kernel, bx=bx, byk=byk, bz=bz, nxp=nxp,
-                                 nyp=nyp, nzp=nzp, tb=tb, tiles_per_group=tpg,
+                                 nyp=yp, nzp=nzp, tb=tb, tiles_per_group=tpg,
                                  ablate=_ablate)
         if grouped:
             # single-buffer the group grids: default double buffering holds
             # 2x(in+out) ~21 MB of VMEM and OOMs; the block changes only every
             # tiles_per_group/tb grid steps so pipelining it buys nothing
-            gspec = pl.BlockSpec((1, nxp, nyp, ZLANES),
+            gspec = pl.BlockSpec((1, nxp, yp, ZLANES),
                                  lambda i: (i * tb // tpg, 0, 0, 0),
                                  memory_space=pltpu.VMEM,
                                  pipeline_mode=pl.Buffered(buffer_count=1))
         else:
-            gspec = pl.BlockSpec((nxp, nyp, ZLANES), lambda i: (0, 0, 0),
+            gspec = pl.BlockSpec((nxp, yp, ZLANES), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec((tb, 3, r), lambda i: (i, 0, 0),
@@ -304,10 +380,100 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
     return deposit
 
 
+def make_tile_deposit_hbm(nx: int, ny: int, nz: int, rays_per_tile: int,
+                          box: tuple[int, int, int] | int = (32, 32, 32),
+                          tiles_per_block: int = 16,
+                          interpret: bool = False):
+    """High-resolution deposit builder: same contract as
+    :func:`make_tile_deposit` (ungrouped), but the grid may have any z size
+    (the :func:`edep_zpad_shape` y/z-padded shape) and lives in HBM —
+    required when the grid exceeds VMEM (BASELINE config 4: 2x resolution).
+    The returned function updates the grid IN PLACE (aliased), unlike the
+    ungrouped VMEM kernel which returns deposits to be added by the
+    caller."""
+    nxp, nyp, nzp = nx + 2, ny + 2, nz + 2
+    _, yp, zp = edep_zpad_shape(nx, ny, nz)
+    if zp < 2 * ZLANES:
+        raise ValueError(
+            f"HBM deposit kernel needs a >=2-frame z dim (nz+2 > {ZLANES}); "
+            "use make_tile_deposit (VMEM grid) for this size")
+    if isinstance(box, int):
+        box = (box, box, box)
+    bx = min(box[0], nxp)
+    # byk a multiple of 8 keeps the y window origin provably 8-aligned
+    # through its upper clip (yp - byk) — the window DMA requires the proof
+    byk = min(-(-(box[1] + 8) // 8) * 8, yp)
+    bz = min(box[2], 64)        # hi/lo lane packing needs 2*bz <= 128
+    r = rays_per_tile
+    tb = tiles_per_block
+
+    def deposit(edep, cx, cy, cz, fx, fy, fz, inc):
+        n_tiles = cx.shape[0] // r
+        assert n_tiles % tb == 0, (n_tiles, tb)
+        assert edep.shape == (nxp, yp, zp), (edep.shape, (nxp, yp, zp))
+
+        kern = functools.partial(_kernel_hbm_entry, bx=bx, byk=byk, bz=bz,
+                                 nxp=nxp, nyp=yp, zp=zp, tb=tb)
+        ints = jnp.stack([a.reshape(n_tiles, r) for a in (cx, cy, cz)],
+                         axis=1)
+        flts = jnp.stack([a.reshape(n_tiles, r) for a in (fx, fy, fz, inc)],
+                         axis=1)
+        jxy = jnp.arange(bx * byk, dtype=jnp.int32)
+        xyidx = jnp.stack([jxy // byk, jxy % byk])
+
+        edep_out, oflow = pl.pallas_call(
+            kern,
+            grid=(n_tiles // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, 3, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 4, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, bx * byk), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nxp, yp, zp), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bx, byk, 2 * ZLANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            input_output_aliases={3: 0},
+            interpret=interpret,
+        )(ints, flts, xyidx, edep)
+        return edep_out, oflow[0, 0]
+
+    return deposit
+
+
+def _kernel_hbm_entry(ints_ref, flts_ref, xyidx_ref, edep_in_ref,
+                      edep_out_ref, oflow_ref, slab_ref, sem_in, sem_out,
+                      **kw):
+    # edep_in_ref aliases edep_out_ref (same HBM buffer); only out is used
+    del edep_in_ref
+    _kernel_hbm(ints_ref, flts_ref, xyidx_ref, edep_out_ref, oflow_ref,
+                slab_ref, sem_in, sem_out, **kw)
+
+
 def edep_zpad_shape(nx: int, ny: int, nz: int) -> tuple[int, int, int]:
-    return (nx + 2, ny + 2, ZLANES)
+    """Grid carried by the Pallas kernels: y padded to a sublane multiple
+    (8) so the dynamic y window origin stays provably 8-aligned after its
+    upper clip (the HBM kernel's window DMA requires the proof; the VMEM
+    kernel gets it for free), z lane-padded to a multiple of 128."""
+    yp = -(-(ny + 2) // 8) * 8
+    zp = -(-(nz + 2) // ZLANES) * ZLANES
+    return (nx + 2, yp, zp)
 
 
-def finalize_edep(edep_zpad, nz: int):
-    """Strip the z-lane padding back to the ghost-padded physical grid."""
-    return edep_zpad[..., : nz + 2]
+def finalize_edep(edep_zpad, ny: int, nz: int):
+    """Strip the y/z padding back to the ghost-padded physical grid."""
+    return edep_zpad[..., : ny + 2, : nz + 2]

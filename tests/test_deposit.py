@@ -9,8 +9,8 @@ import pytest
 
 from cbet_raytracing_3d_tpu.config import Config
 from cbet_raytracing_3d_tpu.models.raytracer import _scatter_deposit
-from cbet_raytracing_3d_tpu.ops.pallas_deposit import (ZLANES, finalize_edep,
-                                                       make_tile_deposit)
+from cbet_raytracing_3d_tpu.ops.pallas_deposit import (
+    ZLANES, edep_zpad_shape, finalize_edep, make_tile_deposit)
 
 CFG = Config(nx=24, ny=20, nz=22)
 GRID = (CFG.nx, CFG.ny, CFG.nz)
@@ -70,12 +70,12 @@ def test_scatter_energy_conservation(rng):
 def _run_pallas(cell, frac, inc, rays_per_tile):
     dep = make_tile_deposit(*GRID, rays_per_tile=rays_per_tile, box=16,
                             tiles_per_block=1, interpret=True)
-    zshape = (GRID[0] + 2, GRID[1] + 2, ZLANES)
+    zshape = edep_zpad_shape(*GRID)
     edep, oflow = dep(jnp.zeros(zshape, jnp.float32),
                       *(jnp.asarray(c, jnp.int32) for c in cell),
                       *(jnp.asarray(f, jnp.float32) for f in frac),
                       jnp.asarray(inc, jnp.float32))
-    edep = finalize_edep(edep, GRID[2])
+    edep = finalize_edep(edep, GRID[1], GRID[2])
     return np.asarray(edep, np.float64), int(oflow)
 
 
@@ -137,3 +137,36 @@ def test_pallas_all_dead_tile(rng):
     got, oflow = _run_pallas(cell, frac, inc, rpt)
     assert oflow == 0
     assert got.sum() == 0.0
+
+
+def test_hbm_kernel_high_res_matches_scatter():
+    """The HBM-grid kernel (nz+2 > 128 lanes, grid too large for VMEM —
+    BASELINE config 4's regime) must match the scatter backend through the
+    full integrator.  Reference capability: grid scaling via def.cuh:33-53."""
+    import jax
+
+    from cbet_raytracing_3d_tpu.config import Config
+    from cbet_raytracing_3d_tpu.models import raytracer as rt
+
+    # anisotropic grid (fine z): a tile's launch footprint alone spans
+    # ~17 z-cells here, so the z box is the driving dimension
+    cfg = Config(nbeams=1, rays_per_zone=1, nx=32, ny=32, nz=130,
+                 dtype="float32", tiles_per_block=2, courant_mult=1.0,
+                 deposit_box_x=16, deposit_box_y=16, deposit_box_z=56)
+    assert cfg.nz + 2 > 128
+    ctx = rt.prepare(cfg)
+    rpt = ctx.layout.rays_per_tile
+    from cbet_raytracing_3d_tpu.parallel.sharding import pad_rays
+    s0 = pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
+                  rpt * cfg.tiles_per_block)
+    fn_h = jax.jit(rt.make_trace_fn(cfg, rpt, backend="pallas_hbm_interpret"))
+    edep_h, _, oflow = fn_h(ctx.field4, s0)
+    assert int(oflow) == 0
+    fn_s = jax.jit(rt.make_trace_fn(cfg, rpt, backend="scatter"))
+    edep_s, _, _ = fn_s(ctx.field4, s0)
+    es = np.asarray(edep_s, np.float64)
+    eh = np.asarray(edep_h, np.float64)
+    assert eh.shape == es.shape == (34, 34, 132)
+    rel_l2 = np.linalg.norm(eh - es) / np.linalg.norm(es)
+    assert rel_l2 < 1e-3, rel_l2
+    np.testing.assert_allclose(eh.sum(), es.sum(), rtol=1e-4)

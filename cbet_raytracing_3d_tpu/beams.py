@@ -21,6 +21,7 @@ import os
 import numpy as np
 
 from .config import Config
+from .ops.interp import uniform_interp
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 DEFAULT_BEAMS_FILE = os.path.join(_DATA_DIR, "omega_beams.txt")
@@ -84,11 +85,9 @@ def init_rays(cfg: Config, beam_norm: np.ndarray, pow_r: np.ndarray) -> RayInit:
 
     # Initial ray energy from the super-Gaussian pupil profile
     # (launch_ray_XZ.cu:113); the power table is uniformly spaced so the
-    # interpolation is direct index arithmetic.
+    # interpolation is direct index arithmetic (ops/interp.uniform_interp).
     step = cfg.pow_table_max / (cfg.pow_table_len - 1)
-    t = np.clip(ref / step, 0.0, cfg.pow_table_len - 1)
-    i = np.minimum(t.astype(np.int64), cfg.pow_table_len - 2)
-    uray1 = cfg.uray_mult * (pow_r[i] + (pow_r[i + 1] - pow_r[i]) * (t - i))
+    uray1 = cfg.uray_mult * uniform_interp(pow_r, 0.0, step, ref)
 
     mask1 = ref <= cfg.beam_max_x
     if cfg.parity == "reference":

@@ -30,15 +30,14 @@ import numpy as np
 
 from . import constants as k
 from .config import Config
+from .ops.interp import interp
 from .profiles import RadialProfiles
 
 
 def np_interp_table(y: np.ndarray, x: np.ndarray, xp: np.ndarray) -> np.ndarray:
-    """NumPy piecewise-linear interp with the reference's clamping semantics,
-    supporting increasing or decreasing abscissa (launch_ray_XZ.cu:16-63)."""
-    if x[0] <= x[-1]:
-        return np.interp(xp, x, y)
-    return np.interp(xp, x[::-1], y[::-1])
+    """Piecewise-linear interp with the reference's clamping semantics
+    (launch_ray_XZ.cu:16-63); NumPy inputs stay float64 NumPy."""
+    return interp(y, x, xp)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,20 +34,44 @@ class RunResult:
 
 
 def estimate_hbm_bytes(cfg: Config, with_cbet: bool = False) -> int:
-    """Rough per-device HBM demand — the checked-allocation analog of the
-    reference's safeGPUAlloc free-memory preflight (multi_gpu.cpp:11-27)."""
+    """Per-device HBM demand — the checked-allocation analog of the
+    reference's safeGPUAlloc free-memory preflight (multi_gpu.cpp:11-27).
+
+    Models every term that has actually mattered in practice:
+
+    * SoA ray state x2 (the context's full-slot state0 plus the live-tile
+      padded working copy both stay resident),
+    * the (P, 4) field table, which lane-pads to (P, 128) in HBM,
+    * the grids: edep_dtype master + f32 chunk accumulator + the kernel's
+      fresh-deposits output (all at the y/z-padded kernel shape),
+    * the deposit input streams of the batched path — the scan's collected
+      (batch, 7, N) step outputs plus their tile-major rearrangement plus
+      the stacked int/float kernel operands (~3 copies; the term behind the
+      deposit_batch_steps=25 VMEM+HBM blowup, config.py) — or one stacked
+      copy at batch=1,
+    * CBET: the (B, P) gain/intensity node fields (x3: gain + two
+      fixed-point iterates) and the grouped per-beam grids (aliased in/out
+      pair + chunk accumulator)."""
     from .models.raytracer import build_tile_layout
+    from .ops.pallas_deposit import edep_zpad_shape
     layout = build_tile_layout(cfg)
     n_slots = layout.n_slots
-    state = 13 * n_slots * 4                  # SoA ray state + padding slack
     P = cfg.nx * cfg.ny * cfg.nz
-    field4 = P * 128 * 4                      # (P, 4) lane-pads to (P, 128)
-    grids = 2 * (cfg.nx + 2) * (cfg.ny + 2) * 128 * 8
+    state_bytes = 11 * 4 + 3 * 4 + 1          # f32 SoA + int32 cells + alive
+    state = 2 * n_slots * state_bytes
+    field4 = P * 128 * 4
+    gshape = edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz)
+    grid_elems = gshape[0] * gshape[1] * gshape[2]
+    master_bytes = 8 if cfg.edep_dtype == "float64" else 4
+    grids = grid_elems * (master_bytes + 4 + 4)
+    batch = max(1, cfg.deposit_batch_steps)
+    copies = 3 if batch > 1 else 1
+    streams = copies * 7 * n_slots * batch * 4
     cbet = 0
     if with_cbet:
-        cbet = (cfg.nbeams + 2) * (cfg.nx + 2) * (cfg.ny + 2) * 128 * 4 \
-            + 2 * cfg.nbeams * P * 4
-    return state + field4 + grids + cbet
+        cbet = (3 * cfg.nbeams * P * 4
+                + 3 * cfg.nbeams * grid_elems * 4)
+    return state + field4 + grids + streams + cbet
 
 
 def check_hbm(cfg: Config, with_cbet: bool = False) -> None:

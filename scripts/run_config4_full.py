@@ -1,0 +1,43 @@
+"""BASELINE config 4 demonstration run: 2x grid (200^3), 1.07e6 rays/beam
+(rays_per_zone=15), 60 beams = 64.3M rays, nt=800 — deposition-bound stress
+of the HBM-grid Pallas kernel.  Chunked dispatch (the tunneled worker kills
+single executions lasting many minutes)."""
+import time, jax, jax.numpy as jnp, numpy as np
+from cbet_raytracing_3d_tpu import Config
+from cbet_raytracing_3d_tpu.models import raytracer as rt
+from cbet_raytracing_3d_tpu.models.raytracer import make_chunk_fn, trace_shapes
+from cbet_raytracing_3d_tpu.parallel.sharding import pad_rays
+
+cfg = Config(nx=200, ny=200, nz=200, rays_per_zone=15, tile_zones=2,
+             deposit_box_x=24, deposit_box_y=24, deposit_box_z=24,
+             deposit_batch_steps=1)
+t0 = time.perf_counter()
+ctx = rt.prepare(cfg)
+rpt = ctx.layout.rays_per_tile
+s0 = pad_rays(rt.select_rays(ctx.state0, ctx.live_slots), rpt*cfg.tiles_per_block)
+t_init = time.perf_counter() - t0
+print(f"init {t_init:.0f}s rays={cfg.total_rays} live_slots={s0.n} tiles={s0.n//rpt} nt={cfg.nt}", flush=True)
+
+chunk = 25; n_chunks = cfg.nt // chunk
+fn = jax.jit(make_chunk_fn(cfg, rpt, chunk, "pallas_hbm"))
+mshape, finalize = trace_shapes(cfg, "pallas_hbm")
+master = jnp.zeros(mshape, jnp.float32)
+state = s0; oflow = jnp.int32(0)
+t0 = time.perf_counter()
+for ci in range(n_chunks):
+    state, master, oflow = fn(ctx.field4, state, master, oflow)
+    jax.device_get(oflow)
+    if ci == 0:
+        stats = jax.devices()[0].memory_stats() or {}
+        print("  memory_stats peak:", stats.get("peak_bytes_in_use", 0)/2**30,
+              "GiB of", stats.get("bytes_limit", 0)/2**30, flush=True)
+    print(f"  chunk {ci} t={time.perf_counter()-t0:.0f}s", flush=True)
+t_trace = time.perf_counter() - t0
+edep = np.asarray(jax.device_get(finalize(master)), np.float64)
+of = int(jax.device_get(oflow))
+st = rt.trace_stats(ctx, state, s0)
+print(f"trace {t_trace:.0f}s oflow={of} edep_total={edep.sum():.8e}", flush=True)
+print("stats:", st, flush=True)
+print("energy conservation rel err:",
+      abs(edep.sum() - st["energy_absorbed"]) / edep.sum(), flush=True)
+print("nominal ray-steps/s:", cfg.total_rays * cfg.nt / t_trace, flush=True)

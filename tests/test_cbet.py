@@ -121,3 +121,80 @@ def test_cbet_sharded_matches_single_device(two_beam_cfg, profiles):
                                atol=1e-10 * res1.edep.max())
     np.testing.assert_allclose(res4.intensity, res1.intensity, rtol=1e-10,
                                atol=1e-10 * max(res1.intensity.max(), 1))
+
+
+def test_cbet_values_match_oracle(profiles):
+    """VALUE-level CBET validation (not just qualitative properties): the
+    production intensity fields, gain fields, and gain-coupled deposition of
+    the first fixed-point iteration must match an independent float64
+    per-ray-Python-loop oracle (oracle.trace_ray_cbet / oracle_cbet_gain),
+    to well under the 1e-4 accuracy bar."""
+    import jax
+    import jax.numpy as jnp
+
+    from cbet_raytracing_3d_tpu.models.cbet import (make_cbet_trace_fn,
+                                                    make_gain_fn)
+    from cbet_raytracing_3d_tpu.oracle import oracle_cbet_iteration
+    from cbet_raytracing_3d_tpu.parallel.sharding import pad_rays
+
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 dtype="float64", tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    i0_o, gain_o, edep1_o, i1_o = oracle_cbet_iteration(cfg, ctx.prof,
+                                                        ctx.beam_norm)
+
+    state0 = pad_rays(ctx.state0, ctx.layout.rays_per_tile)
+    bid_np = np.maximum(ctx.beam_id, 0).astype(np.int32)
+    bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
+    P = cfg.nx * cfg.ny * cfg.nz
+    tr = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="scatter")())
+
+    # 1) uncoupled intensity fields
+    zero_gain = jnp.zeros((2, P), jnp.float64)
+    _, i0_p, _, _ = tr(ctx.field4, zero_gain, bid, state0)
+    i0_p = np.asarray(i0_p, np.float64)
+    i0_of = i0_o.reshape(2, P)
+    assert np.linalg.norm(i0_p - i0_of) / np.linalg.norm(i0_of) < 1e-8
+
+    # 2) gain fields (production computes them in f32)
+    gain_fn = make_gain_fn(cfg, ctx)
+    g_p = np.asarray(gain_fn(jnp.asarray(i0_p, jnp.float32)), np.float64)
+    g_of = gain_o.reshape(2, P)
+    assert (np.linalg.norm(g_p - g_of) / np.linalg.norm(g_of)) < 1e-5
+    assert np.abs(g_p).max() > 0, "no coupling in the test scene"
+
+    # 3) gain-coupled retrace: deposition + updated intensity (feed the
+    # float64 oracle gain so this isolates the trace itself)
+    edep1_p, i1_p, _, _ = tr(ctx.field4, jnp.asarray(g_of), bid, state0)
+    edep1_p = np.asarray(edep1_p, np.float64)
+    i1_p = np.asarray(i1_p, np.float64)
+    assert (np.linalg.norm(edep1_p - edep1_o)
+            / np.linalg.norm(edep1_o)) < 1e-8
+    assert (np.linalg.norm(i1_p - i1_o.reshape(2, P))
+            / np.linalg.norm(i1_o)) < 1e-8
+    # the coupling had a real effect on this scene
+    assert np.abs(i1_o - i0_o).max() > 0
+
+
+def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
+    """A mesh CBET solve with the Pallas base deposit: per-shard grids can't
+    see global beam grouping, so the solver must switch the intensity
+    accumulation to the beam-offset scatter while keeping the Pallas edep
+    kernel — and still reproduce the single-device (grouped-kernel) fixed
+    point."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = two_beam_cfg.replace(cbet_max_iters=2, dtype="float32",
+                               tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")      # grouped
+    mesh = make_mesh(jax.devices()[:2])
+    res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    # bf16 kernel weights differ between the grouped kernel and the offset
+    # scatter only through f32 summation order; fields must agree tightly
+    rel = (np.linalg.norm(res2.intensity - res1.intensity)
+           / np.linalg.norm(res1.intensity))
+    assert rel < 2e-3, rel
+    rel_e = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel_e < 2e-3, rel_e

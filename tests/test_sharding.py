@@ -72,3 +72,29 @@ def test_uneven_beam_count_devices(small_ctx):
         fn = sh.make_sharded_trace_fn(ctx.cfg, mesh, rpt)
         edep, _, _ = fn(ctx.field4, sh.pad_rays(state0, ndev))
         assert np.isfinite(np.asarray(edep)).all()
+
+
+def test_sharded_pallas_matches_single_device(profiles):
+    """The Pallas deposit backend through shard_map: shards cut at tile
+    boundaries (sharding.py contract), each device runs the kernel on whole
+    tiles, grids psum-reduce.  Must equal the single-device kernel result."""
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 dtype="float32", tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    rpt = ctx.layout.rays_per_tile
+    # two whole live tiles per device
+    live_tiles = np.unique(ctx.live_slots // rpt)
+    tiles = live_tiles[:4]
+    idx = (tiles[:, None] * rpt + np.arange(rpt)[None, :]).reshape(-1)
+    state0 = rt.select_rays(ctx.state0, idx)
+
+    single = jax.jit(rt.make_trace_fn(cfg, rpt, backend="pallas_interpret"))
+    edep1, _, of1 = single(ctx.field4, state0)
+    assert int(of1) == 0
+
+    mesh = sh.make_mesh(jax.devices()[:2])
+    fn = sh.make_sharded_trace_fn(cfg, mesh, rpt, backend="pallas_interpret")
+    edep2, _, of2 = fn(ctx.field4, state0)
+    assert int(of2) == 0
+    np.testing.assert_allclose(np.asarray(edep2), np.asarray(edep1),
+                               rtol=1e-6, atol=1e-6 * float(np.asarray(edep1).max()))

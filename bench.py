@@ -53,8 +53,22 @@ def main() -> int:
     n_dev = int(np.prod(mesh.devices.shape))
     state0 = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
                          n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block)
-    fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile)
-    t_init = time.perf_counter() - t_init0
+    if n_dev == 1:
+        # single chip: the statically compacted (segmented) trace; the tile
+        # plan is measured once per config+scene and disk-cached
+        import jax.numpy as jnp
+
+        from cbet_raytracing_3d_tpu.models import tileplan as tp
+        t_init_pre_plan = time.perf_counter() - t_init0
+        plan = tp.get_or_measure_plan(cfg, ctx, state0, ".cbet_cache")
+        t_plan = time.perf_counter() - t_init0 - t_init_pre_plan
+        segments = tp.build_segments(plan, cfg, cfg.nt)
+        fn = jax.jit(rt.make_segmented_trace_fn(
+            cfg, ctx.layout.rays_per_tile, segments))
+    else:
+        t_plan = 0.0
+        fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile)
+    t_init = time.perf_counter() - t_init0 - t_plan
 
     # compile + first run (axon caveat: block_until_ready is a no-op on the
     # tunneled backend — fence with device_get)
@@ -88,6 +102,7 @@ def main() -> int:
         "trace_seconds": round(t_trace, 3),
         "init_seconds": round(t_init, 3),
         "backend_init_seconds": round(t_backend, 3),
+        "tile_plan_seconds": round(t_plan, 1),
         "compile_seconds": round(t_first - t_trace, 1),
         "devices": n_dev,
         "devices_available": n_dev_avail,

@@ -207,26 +207,39 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     v = -(k.C_CMS ** 2) * bn[ray_beam] * (w / k.OMEGA)[:, None]  # cm/s
     vel0 = v * cfg.dt / d                                        # grid units/step
 
-    # scatter ray data into tile-ordered slots; uncovered slots stay dead
+    # scatter ray data into tile-ordered slots; uncovered slots stay dead.
+    # One grouped fancy-index pass per dtype and one grouped upload instead
+    # of 15 — the per-array version cost minutes at config-4 scale (64M
+    # rays); casting to the compute dtype BEFORE the scatter halves the
+    # host memory traffic again.
     slots = layout.slot_of.reshape(-1)
     ns = layout.n_slots
-
-    def to_slots(src, fill=0.0, dt_=None):
-        out = np.full((ns,), fill, dtype=src.dtype if dt_ is None else dt_)
-        out[slots] = src
-        return out
+    np_dtype = np.dtype(cfg.dtype)
 
     frac0 = t0 - cell0
     kick0 = f4[flat0, :3]        # gradient kick at the launch cell (step 0)
+    uray_flat = rays.uray.reshape(-1)
+    fsrc = np.concatenate(
+        [frac0.T, vel0.T, kick0.T, uray_flat[None, :], uray_flat[None, :]],
+        axis=0).astype(np_dtype)                       # (11, nbeams*nrays)
+    fmat = np.zeros((11, ns), np_dtype)
+    fmat[10] = 1.0     # padding slots: uray_init=1 keeps the 5% rule defined
+    fmat[:, slots] = fsrc
+    imat = np.zeros((3, ns), np.int32)
+    imat[:, slots] = cell0.T
+    mask_slots = np.zeros((ns,), bool)
+    mask_slots[slots] = rays.mask.reshape(-1)
+
+    f_dev = jnp.asarray(fmat)
+    i_dev = jnp.asarray(imat)
     state0 = RayState(
-        frac=tuple(jnp.asarray(to_slots(frac0[:, ax]), dtype) for ax in range(3)),
-        vel=tuple(jnp.asarray(to_slots(vel0[:, ax]), dtype) for ax in range(3)),
-        kick=tuple(jnp.asarray(to_slots(kick0[:, ax]), dtype) for ax in range(3)),
-        uray=jnp.asarray(to_slots(rays.uray.reshape(-1)), dtype),
-        # padding slots get uray_init=1 to keep the 5% stop rule well-defined
-        uray_init=jnp.asarray(to_slots(rays.uray.reshape(-1), fill=1.0), dtype),
-        cell=tuple(jnp.asarray(to_slots(cell0[:, ax]), jnp.int32) for ax in range(3)),
-        alive=jnp.asarray(to_slots(rays.mask.reshape(-1), fill=False)),
+        frac=(f_dev[0], f_dev[1], f_dev[2]),
+        vel=(f_dev[3], f_dev[4], f_dev[5]),
+        kick=(f_dev[6], f_dev[7], f_dev[8]),
+        uray=f_dev[9],
+        uray_init=f_dev[10],
+        cell=(i_dev[0], i_dev[1], i_dev[2]),
+        alive=jnp.asarray(mask_slots),
     )
     beam_id = np.full((ns,), -1, np.int32)
     beam_id[slots] = ray_beam
@@ -234,8 +247,6 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     # tiles with no launched ray (pupil-rejected or layout padding, ~17% on
     # the reference scene) are statically dead: the fast paths trace only
     # live-tile slots (tile granularity preserves the kernel contract)
-    mask_slots = np.zeros((ns,), bool)
-    mask_slots[slots] = rays.mask.reshape(-1)
     rpt = layout.rays_per_tile
     tile_live = mask_slots.reshape(-1, rpt).any(axis=1)
     live_slots = (np.nonzero(tile_live)[0][:, None] * rpt
@@ -443,17 +454,10 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     return step
 
 
-def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
-    """Build the jittable full-trace function
-    ``(field4, state0) -> (edep, final_state, overflow)``.
-
-    Runs ``nt`` steps as an outer scan over chunks of ``chunk_steps``; each
-    chunk accumulates deposits in float32 and promotes into an ``edep_dtype``
-    master grid between chunks (summation-error control).  ``overflow`` is
-    the total count of deposits that missed the Pallas tile box (0 in any
-    valid configuration; nonzero flags a too-small ``deposit_box``)."""
-    if backend is None:
-        backend = resolve_deposit_backend(cfg)
+def _make_chunk_machinery(cfg: Config, rays_per_tile: int, backend: str):
+    """Shared core of the trace functions: the per-chunk scan body (chunked
+    f32 accumulation, optional batched deposition, all-dead early exit) plus
+    the grid shape/chunking facts it closes over."""
     step = make_step_fn(cfg, rays_per_tile, backend)
     pallas = backend in PALLAS_BACKENDS
     # the Pallas kernels carry the grid z-lane-padded (to a 128 multiple)
@@ -473,13 +477,7 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     else:
         batch = 1
 
-    def trace(field4, state0: RayState):
-        compute_dtype = state0.uray.dtype
-        # canonicalize: float64 silently degrades to float32 when x64 is off
-        # (e.g. on TPU); chunked accumulation keeps the error bounded anyway
-        master_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype))
-        master = jnp.zeros(shape3, master_dtype)
-
+    def make_chunk_body(field4, compute_dtype):
         def chunk_body(carry, steps_in_chunk):
             state, master, oflow = carry
 
@@ -535,6 +533,32 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
             master = master + edep32.astype(master.dtype)
             return (state, master, oflow), None
 
+        return chunk_body
+
+    return make_chunk_body, shape3, pallas, chunk, last_chunk, n_chunks
+
+
+def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
+    """Build the jittable full-trace function
+    ``(field4, state0) -> (edep, final_state, overflow)``.
+
+    Runs ``nt`` steps as an outer scan over chunks of ``chunk_steps``; each
+    chunk accumulates deposits in float32 and promotes into an ``edep_dtype``
+    master grid between chunks (summation-error control).  ``overflow`` is
+    the total count of deposits that missed the Pallas tile box (0 in any
+    valid configuration; nonzero flags a too-small ``deposit_box``)."""
+    if backend is None:
+        backend = resolve_deposit_backend(cfg)
+    (make_chunk_body, shape3, pallas, chunk, last_chunk,
+     n_chunks) = _make_chunk_machinery(cfg, rays_per_tile, backend)
+
+    def trace(field4, state0: RayState):
+        compute_dtype = state0.uray.dtype
+        # canonicalize: float64 silently degrades to float32 when x64 is off
+        # (e.g. on TPU); chunked accumulation keeps the error bounded anyway
+        master_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype))
+        master = jnp.zeros(shape3, master_dtype)
+        chunk_body = make_chunk_body(field4, compute_dtype)
         steps_per_chunk = jnp.asarray(
             [chunk] * (n_chunks - 1) + [last_chunk], jnp.int32)
         (state, master, oflow), _ = jax.lax.scan(
@@ -544,6 +568,70 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
         return master, state, oflow
 
     return trace
+
+
+def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
+                            backend: str | None = None):
+    """Full-trace function with static mid-trace tile compaction
+    (models/tileplan.py): between segments, the ray state is gathered down
+    to the tiles still depositing — a STATIC gather (the per-chunk live-tile
+    sets are deterministic for a fixed config+scene), so the whole compacted
+    trace is one jittable function with no host round-trips.
+
+    ``state0`` must be tile-aligned with ``segments[0]`` (the plan must have
+    been measured on the same state, tileplan.measure_plan).  The returned
+    final state covers the LAST segment's tiles; use
+    ``segment_slot_origins(segments, rays_per_tile)`` to map its slots back
+    to state0 slots (e.g. for trace_stats).  Single-device only — shards
+    would need per-device-balanced plans (see parallel/sharding.py)."""
+    if backend is None:
+        backend = resolve_deposit_backend(cfg)
+    (make_chunk_body, shape3, pallas, chunk, last_chunk,
+     n_chunks) = _make_chunk_machinery(cfg, rays_per_tile, backend)
+    assert sum(len(s.chunk_lengths) for s in segments) == n_chunks
+
+    # static gather indices between consecutive segments
+    gathers = []
+    for prev, seg in zip(segments[:-1], segments[1:]):
+        prev_valid = prev.tiles[prev.valid]            # sorted, unique
+        pos = np.searchsorted(prev_valid, seg.tiles)
+        assert (prev_valid[pos] == seg.tiles).all(), \
+            "segment tiles must be a subset of the previous segment's"
+        slot_idx = (pos[:, None] * rays_per_tile
+                    + np.arange(rays_per_tile)[None, :]).reshape(-1)
+        valid = np.repeat(seg.valid, rays_per_tile)
+        gathers.append((jnp.asarray(slot_idx), jnp.asarray(valid)))
+
+    def trace(field4, state0: RayState):
+        compute_dtype = state0.uray.dtype
+        master_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype))
+        master = jnp.zeros(shape3, master_dtype)
+        chunk_body = make_chunk_body(field4, compute_dtype)
+        state, oflow = state0, jnp.int32(0)
+        for si, seg in enumerate(segments):
+            if si > 0:
+                idx, valid = gathers[si - 1]
+                state = select_rays(state, idx)
+                state = dataclasses.replace(state, alive=state.alive & valid)
+            steps = jnp.asarray(seg.chunk_lengths, jnp.int32)
+            (state, master, oflow), _ = jax.lax.scan(
+                chunk_body, (state, master, oflow), steps)
+        if pallas:
+            master = finalize_edep(master, cfg.ny, cfg.nz)
+        return master, state, oflow
+
+    return trace
+
+
+def segment_slot_origins(segments, rays_per_tile: int) -> np.ndarray:
+    """Map the final segment's slots back to segment-0 slots (for stats):
+    returns (n_final_slots,) int64, -1 for pad slots."""
+    last = segments[-1]
+    origin_tile = np.where(last.valid, last.tiles, -1)
+    out = (origin_tile[:, None] * rays_per_tile
+           + np.arange(rays_per_tile)[None, :])
+    out[origin_tile < 0] = -1
+    return out.reshape(-1)
 
 
 def make_chunk_fn(cfg: Config, rays_per_tile: int, n_steps: int,

@@ -1,0 +1,171 @@
+"""Static tile-liveness plan for mid-trace compaction.
+
+Rays die monotonically (absorption/exit — launch_ray_XZ.cu:351-356), so a
+launch tile's "has any depositing ray" property is monotone per chunk.  For
+a fixed config + scene the per-chunk live-tile sets are DETERMINISTIC, which
+turns mid-trace compaction into a *static* plan: measure once (a cheap
+no-deposit pre-trace), cache by config+scene fingerprint, and let the
+segmented trace (raytracer.make_segmented_trace_fn) gather the ray state
+down to the surviving tiles at fixed chunk boundaries — every shape static,
+no host round-trips inside the trace.
+
+Measured per-chunk live-tile fractions on the reference OMEGA scene
+(chunk_steps=25): 1.0 x3, .86, .82 x3, .64, .31, .05, then all-dead — the
+early-exit already skips the dead tail; compaction recovers the ~25% of
+gather/state/kernel work spent on dead tiles in the middle chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+
+import numpy as np
+
+from ..config import Config
+from ..utils.checkpoint import config_fingerprint
+
+PLAN_VERSION = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    chunk_steps: int
+    chunk_live: np.ndarray        # (n_chunks, T) bool — tile deposits in chunk
+
+
+@dataclasses.dataclass(frozen=True)
+class Segment:
+    """One compaction segment: ``chunks`` scan chunks over ``tiles`` (ids in
+    the traced live-tile space), padded to a tiles_per_block multiple with
+    duplicated-but-masked tiles (``valid`` False on pad slots)."""
+
+    chunk_lengths: tuple          # steps per chunk in this segment
+    tiles: np.ndarray             # (T_s,) int64, sorted, incl. pad duplicates
+    valid: np.ndarray             # (T_s,) bool — False on pad duplicates
+
+
+def scene_fingerprint(ctx) -> str:
+    """Config + scene-data fingerprint: the plan is only valid for the exact
+    inputs it was measured on."""
+    h = hashlib.sha256(config_fingerprint(ctx.cfg).encode())
+    for a in (ctx.prof.r, ctx.prof.ne, ctx.prof.te, ctx.beam_norm):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:16]
+
+
+def measure_plan(cfg: Config, ctx, state0) -> TilePlan:
+    """Measure per-chunk tile liveness with a no-deposit pre-trace of
+    ``state0`` (a tile-aligned ray state, e.g. the padded live-tile
+    selection the production trace uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import raytracer as rt
+
+    rpt = ctx.layout.rays_per_tile
+    T = state0.n // rpt
+    dstep = rt.make_deferred_step_fn(cfg)
+    chunk = max(1, min(cfg.chunk_steps, cfg.nt))
+    n_chunks = -(-cfg.nt // chunk)
+    last = cfg.nt - (n_chunks - 1) * chunk
+
+    @jax.jit
+    def run(field4, st):
+        def chunk_body(st, steps):
+            def body(carry, _):
+                st, live = carry
+                st, (cell, frac, inc) = dstep(st, field4)
+                live = live | (inc > 0).reshape(T, rpt).any(axis=1)
+                return (st, live), None
+
+            (st, live), _ = jax.lax.scan(
+                body, (st, jnp.zeros((T,), bool)), None, length=chunk)
+            return st, live
+
+        st2, lives = jax.lax.scan(
+            lambda s, _: chunk_body(s, chunk), st, None, length=n_chunks)
+        return lives
+
+    lives = np.asarray(jax.device_get(run(ctx.field4, state0)))
+    # the final partial chunk is covered by scanning full `chunk` steps per
+    # chunk above (extra steps on dead rays only widen liveness, never
+    # shrink it — safe over-approximation)
+    del last
+    return TilePlan(chunk_steps=chunk, chunk_live=lives)
+
+
+def build_segments(plan: TilePlan, cfg: Config, nt: int,
+                   shrink: float = 0.9) -> list[Segment]:
+    """Greedy segmentation: start a new segment whenever the live-tile count
+    drops below ``shrink`` x the current segment's tile count."""
+    chunk = plan.chunk_steps
+    n_chunks = -(-nt // chunk)
+    last = nt - (n_chunks - 1) * chunk
+    lengths = [chunk] * (n_chunks - 1) + [last]
+    live = plan.chunk_live
+    T = live.shape[1]
+    tb = cfg.tiles_per_block
+
+    segments: list[Segment] = []
+    cur_tiles = np.arange(T)
+    cur_lengths: list[int] = []
+    for c in range(n_chunks):
+        tiles_c = np.nonzero(live[c])[0] if c < live.shape[0] else cur_tiles
+        if cur_lengths and len(tiles_c) < shrink * len(cur_tiles):
+            segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
+            cur_tiles = tiles_c if len(tiles_c) else cur_tiles[:1]
+            cur_lengths = []
+        cur_lengths.append(lengths[c])
+    segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
+    return segments
+
+
+def _pad_segment(lengths, tiles, tb) -> Segment:
+    tiles = np.asarray(sorted(tiles), np.int64)
+    n = len(tiles)
+    pad = (-n) % tb
+    valid = np.ones(n + pad, bool)
+    if pad:
+        tiles = np.concatenate([tiles, np.full(pad, tiles[0], np.int64)])
+        valid[n:] = False
+    return Segment(chunk_lengths=tuple(lengths), tiles=tiles, valid=valid)
+
+
+def plan_path(cache_dir: str, fingerprint: str) -> str:
+    return os.path.join(cache_dir, f"tileplan_{fingerprint}.npz")
+
+
+def save_plan(path: str, plan: TilePlan, fingerprint: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp.npz"       # np.savez appends .npz unless present
+    np.savez_compressed(tmp, version=PLAN_VERSION, fingerprint=fingerprint,
+                        chunk_steps=plan.chunk_steps,
+                        chunk_live=plan.chunk_live)
+    os.replace(tmp, path)
+
+
+def load_plan(path: str, fingerprint: str) -> TilePlan | None:
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if (int(z["version"]) != PLAN_VERSION
+                or str(z["fingerprint"]) != fingerprint):
+            return None
+        return TilePlan(chunk_steps=int(z["chunk_steps"]),
+                        chunk_live=np.asarray(z["chunk_live"]))
+
+
+def get_or_measure_plan(cfg: Config, ctx, state0,
+                        cache_dir: str | None) -> TilePlan:
+    fp = scene_fingerprint(ctx)
+    if cache_dir:
+        plan = load_plan(plan_path(cache_dir, fp), fp)
+        if plan is not None and plan.chunk_steps == max(
+                1, min(cfg.chunk_steps, cfg.nt)):
+            return plan
+    plan = measure_plan(cfg, ctx, state0)
+    if cache_dir:
+        save_plan(plan_path(cache_dir, fp), plan, fp)
+    return plan

@@ -15,13 +15,25 @@ t0 = time.perf_counter()
 ctx = rt.prepare(cfg)
 rpt = ctx.layout.rays_per_tile
 s0 = pad_rays(rt.select_rays(ctx.state0, ctx.live_slots), rpt*cfg.tiles_per_block)
+jax.device_get(s0.uray[0])
+# free the full-slot state0 (3.8 GB at this scale): only the live-tile
+# padded copy is traced
+import dataclasses
+ctx = dataclasses.replace(ctx, state0=None)
 t_init = time.perf_counter() - t0
 print(f"init {t_init:.0f}s rays={cfg.total_rays} live_slots={s0.n} tiles={s0.n//rpt} nt={cfg.nt}", flush=True)
 
 chunk = 25; n_chunks = cfg.nt // chunk
-fn = jax.jit(make_chunk_fn(cfg, rpt, chunk, "pallas_hbm"))
+fn = jax.jit(make_chunk_fn(cfg, rpt, chunk, "pallas_hbm"),
+             donate_argnums=(1, 2, 3))   # state/master/oflow update in place
 mshape, finalize = trace_shapes(cfg, "pallas_hbm")
 master = jnp.zeros(mshape, jnp.float32)
+state0_for_stats = rt.RayState(
+    frac=tuple(np.asarray(a) for a in s0.frac),
+    vel=tuple(np.asarray(a) for a in s0.vel),
+    kick=tuple(np.asarray(a) for a in s0.kick),
+    uray=np.asarray(s0.uray), uray_init=np.asarray(s0.uray_init),
+    cell=tuple(np.asarray(a) for a in s0.cell), alive=np.asarray(s0.alive))
 state = s0; oflow = jnp.int32(0)
 t0 = time.perf_counter()
 for ci in range(n_chunks):
@@ -35,7 +47,7 @@ for ci in range(n_chunks):
 t_trace = time.perf_counter() - t0
 edep = np.asarray(jax.device_get(finalize(master)), np.float64)
 of = int(jax.device_get(oflow))
-st = rt.trace_stats(ctx, state, s0)
+st = rt.trace_stats(ctx, state, state0_for_stats)
 print(f"trace {t_trace:.0f}s oflow={of} edep_total={edep.sum():.8e}", flush=True)
 print("stats:", st, flush=True)
 print("energy conservation rel err:",

@@ -26,6 +26,7 @@ Init, but the remote-TPU tunnel handshake has no reference analog and would
 dominate the comparison.
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -48,11 +49,15 @@ def main() -> int:
 
     cfg = Config()
     t_init0 = time.perf_counter()
-    ctx = rt.prepare(cfg)
+    # host-state init: subset/pad in NumPy, one device_put — pure transfers
+    # (device-side select/pad compiles cost ~7 s of Init through the tunnel)
+    ctx = rt.prepare(cfg, host_state=True)
     mesh = sh.make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
-    state0 = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
-                         n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block)
+    state0 = sh.put_state(sh.pad_rays(
+        rt.select_rays(ctx.state0, ctx.live_slots),
+        n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
+    ctx = dataclasses.replace(ctx, field4=jax.numpy.asarray(ctx.field4))
     if n_dev == 1:
         # single chip: the statically compacted (segmented) trace; the tile
         # plan is measured once per config+scene and disk-cached

@@ -293,9 +293,9 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
 
     gain_fn = make_gain_fn(cfg, ctx)
     rpt = ctx.layout.rays_per_tile
-    from ..parallel.sharding import AXIS, pad_rays
+    from ..parallel.sharding import AXIS, pad_rays, put_state
     n_dev = 1 if mesh is None else int(_math.prod(mesh.devices.shape))
-    state0 = pad_rays(ctx.state0, n_dev * rpt * cfg.tiles_per_block)
+    state0 = put_state(pad_rays(ctx.state0, n_dev * rpt * cfg.tiles_per_block))
     trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
                                      intensity_scatter=n_dev > 1)
     # per-slot beam ids (padding slots get 0 but are permanently dead)

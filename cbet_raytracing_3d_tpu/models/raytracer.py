@@ -170,8 +170,14 @@ class TraceContext:
 
 
 def prepare(cfg: Config, prof: RadialProfiles | None = None,
-            beam_norm: np.ndarray | None = None) -> TraceContext:
-    """Host-side setup ("Init" phase): profiles, fields, rays, initial state."""
+            beam_norm: np.ndarray | None = None,
+            host_state: bool = False) -> TraceContext:
+    """Host-side setup ("Init" phase): profiles, fields, rays, initial state.
+
+    ``host_state=True`` leaves the ray state (and field table) as NumPy
+    arrays: callers then subset/pad on the host and ``device_put`` once —
+    pure transfers, no per-op compilations through the tunneled backend
+    (measured: device-side select+pad compiles cost ~7 s of Init)."""
     if prof is None:
         prof = load_profiles(nr=cfg.nr)
     if beam_norm is None:
@@ -191,7 +197,7 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     kick = fields.fgrad * cfg.dt / d          # (nx,ny,nz,3) grid units/step
     f4 = np.concatenate([kick.reshape(-1, 3),
                          fields.absorb.reshape(-1, 1)], axis=1)
-    field4 = jnp.asarray(f4, dtype)
+    field4 = f4.astype(dtype) if host_state else jnp.asarray(f4, dtype)
 
     # --- initial ray state (float64 on host, cast once) ---
     pos = rays.pos.reshape(-1, 3)                     # (nbeams*nrays, 3) cm
@@ -230,8 +236,16 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     mask_slots = np.zeros((ns,), bool)
     mask_slots[slots] = rays.mask.reshape(-1)
 
-    f_dev = jnp.asarray(fmat)
-    i_dev = jnp.asarray(imat)
+    # upload per row from host (plain transfers): device-side row slicing
+    # of a stacked upload triggers one tiny remote compile per row through
+    # the tunneled backend (~3-5 s each — measured 67 s Init regression)
+    if host_state:
+        def dev(a):
+            return np.ascontiguousarray(a)
+    else:
+        dev = jnp.asarray
+    f_dev = [dev(fmat[i]) for i in range(11)]
+    i_dev = [dev(imat[i]) for i in range(3)]
     state0 = RayState(
         frac=(f_dev[0], f_dev[1], f_dev[2]),
         vel=(f_dev[3], f_dev[4], f_dev[5]),
@@ -239,7 +253,7 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
         uray=f_dev[9],
         uray_init=f_dev[10],
         cell=(i_dev[0], i_dev[1], i_dev[2]),
-        alive=jnp.asarray(mask_slots),
+        alive=dev(mask_slots),
     )
     beam_id = np.full((ns,), -1, np.int32)
     beam_id[slots] = ray_beam
@@ -258,8 +272,11 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
 
 
 def select_rays(state: RayState, indices: np.ndarray) -> RayState:
-    """Subset the ray batch by slot indices (tests, diagnostics)."""
-    idx = jnp.asarray(indices)
+    """Subset the ray batch by slot indices (tests, diagnostics).
+
+    Host (NumPy) states stay on the host — see prepare(host_state=True)."""
+    on_host = isinstance(state.uray, np.ndarray)
+    idx = np.asarray(indices) if on_host else jnp.asarray(indices)
     return RayState(
         frac=tuple(a[idx] for a in state.frac),
         vel=tuple(a[idx] for a in state.vel),
@@ -590,17 +607,21 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
      n_chunks) = _make_chunk_machinery(cfg, rays_per_tile, backend)
     assert sum(len(s.chunk_lengths) for s in segments) == n_chunks
 
-    # static gather indices between consecutive segments
+    # static gather indices between consecutive segments, at TILE-row
+    # granularity: gathering (T_prev, rays_per_tile) rows moves whole
+    # contiguous 1 KB blocks, which the TPU gather handles far better than
+    # the equivalent element gather (measured: element-level compaction
+    # gathers ate the entire compaction win)
     gathers = []
+    n_prev = len(segments[0].tiles)
     for prev, seg in zip(segments[:-1], segments[1:]):
         prev_valid = prev.tiles[prev.valid]            # sorted, unique
         pos = np.searchsorted(prev_valid, seg.tiles)
         assert (prev_valid[pos] == seg.tiles).all(), \
             "segment tiles must be a subset of the previous segment's"
-        slot_idx = (pos[:, None] * rays_per_tile
-                    + np.arange(rays_per_tile)[None, :]).reshape(-1)
         valid = np.repeat(seg.valid, rays_per_tile)
-        gathers.append((jnp.asarray(slot_idx), jnp.asarray(valid)))
+        gathers.append((len(prev.tiles), jnp.asarray(pos),
+                        jnp.asarray(valid)))
 
     def trace(field4, state0: RayState):
         compute_dtype = state0.uray.dtype
@@ -610,8 +631,12 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
         state, oflow = state0, jnp.int32(0)
         for si, seg in enumerate(segments):
             if si > 0:
-                idx, valid = gathers[si - 1]
-                state = select_rays(state, idx)
+                t_prev, pos, valid = gathers[si - 1]
+
+                def take_tiles(a, t_prev=t_prev, pos=pos):
+                    return a.reshape(t_prev, rays_per_tile)[pos].reshape(-1)
+
+                state = jax.tree_util.tree_map(take_tiles, state)
                 state = dataclasses.replace(state, alive=state.alive & valid)
             steps = jnp.asarray(seg.chunk_lengths, jnp.int32)
             (state, master, oflow), _ = jax.lax.scan(

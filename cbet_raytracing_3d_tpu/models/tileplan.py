@@ -113,10 +113,18 @@ def build_segments(plan: TilePlan, cfg: Config, nt: int,
     cur_lengths: list[int] = []
     for c in range(n_chunks):
         tiles_c = np.nonzero(live[c])[0] if c < live.shape[0] else cur_tiles
+        if len(tiles_c) == 0:
+            # all-dead tail: the in-scan early exit already skips these
+            # chunks; splitting further would only add segments
+            tiles_c = cur_tiles[:1]
+            if cur_lengths and len(cur_tiles) > tb:
+                segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
+                cur_tiles, cur_lengths = tiles_c, []
+            cur_lengths.append(lengths[c])
+            continue
         if cur_lengths and len(tiles_c) < shrink * len(cur_tiles):
             segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
-            cur_tiles = tiles_c if len(tiles_c) else cur_tiles[:1]
-            cur_lengths = []
+            cur_tiles, cur_lengths = tiles_c, []
         cur_lengths.append(lengths[c])
     segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
     return segments

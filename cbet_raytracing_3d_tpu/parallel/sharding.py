@@ -38,14 +38,16 @@ def pad_rays(state: RayState, multiple: int) -> RayState:
     """Pad the slot axis to a multiple of ``multiple`` with dead rays.
 
     For the Pallas deposit path, ``multiple`` must be
-    ``n_devices * rays_per_tile`` so shards split at tile boundaries."""
+    ``n_devices * rays_per_tile`` so shards split at tile boundaries.
+    Host (NumPy) states stay on the host."""
     n = state.n
     pad = (-n) % multiple
     if pad == 0:
         return state
+    xp = np if isinstance(state.uray, np.ndarray) else jnp
 
     def pad0(x, fill=0):
-        return jnp.pad(x, (0, pad), constant_values=fill)
+        return xp.pad(x, (0, pad), constant_values=fill)
 
     return RayState(
         frac=tuple(pad0(a) for a in state.frac),
@@ -57,6 +59,12 @@ def pad_rays(state: RayState, multiple: int) -> RayState:
         cell=tuple(pad0(a) for a in state.cell),
         alive=pad0(state.alive, fill=False),
     )
+
+
+def put_state(state: RayState) -> RayState:
+    """Transfer a host-built ray state to the default device (pure
+    transfers — no compilations; see raytracer.prepare(host_state=True))."""
+    return jax.tree_util.tree_map(jnp.asarray, state)
 
 
 def make_sharded_trace_fn(cfg: Config, mesh: Mesh, rays_per_tile: int,

@@ -114,15 +114,20 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
             return contextlib.nullcontext()
 
     with timers.phase("Init"):
-        ctx = rt.prepare(cfg)
+        # host-state init: subset/pad in NumPy, one device_put (pure
+        # transfers — device-side select/pad would compile through the
+        # tunnel, see prepare(host_state=True))
+        ctx = rt.prepare(cfg, host_state=True)
         if mesh is None:
             mesh = sh.make_mesh()
         n_dev = int(np.prod(mesh.devices.shape))
-        state0 = sh.pad_rays(
+        state0 = sh.put_state(sh.pad_rays(
             rt.select_rays(ctx.state0, ctx.live_slots),
-            n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block)
+            n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+        ctx = _dc.replace(ctx, field4=_jnp.asarray(ctx.field4))
         fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile, backend)
-        # device placement of the small replicated inputs happens on first call
 
     with timers.phase("Tracing"), _profiler():
         edep_dev, state, oflow = fn(ctx.field4, state0)
@@ -170,9 +175,13 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
 
     timers = PhaseTimers()
     with timers.phase("Init"):
-        ctx = rt.prepare(cfg)
-        state = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
-                            ctx.layout.rays_per_tile * cfg.tiles_per_block)
+        ctx = rt.prepare(cfg, host_state=True)
+        state = sh.put_state(sh.pad_rays(
+            rt.select_rays(ctx.state0, ctx.live_slots),
+            ctx.layout.rays_per_tile * cfg.tiles_per_block))
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+        ctx = _dc.replace(ctx, field4=_jnp.asarray(ctx.field4))
         chunk = max(1, min(cfg.chunk_steps, cfg.nt))
         n_chunks = -(-cfg.nt // chunk)
         last_len = cfg.nt - (n_chunks - 1) * chunk

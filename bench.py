@@ -51,7 +51,7 @@ def main() -> int:
     t_init0 = time.perf_counter()
     # host-state init: subset/pad in NumPy, one device_put — pure transfers
     # (device-side select/pad compiles cost ~7 s of Init through the tunnel)
-    ctx = rt.prepare(cfg, host_state=True)
+    ctx = rt.prepare(cfg, host_state=True, cache_dir=".cbet_cache")
     mesh = sh.make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
     state0 = sh.put_state(sh.pad_rays(

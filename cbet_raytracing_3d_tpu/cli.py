@@ -63,6 +63,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--quiet", action="store_true")
     p_run.add_argument("--profile-dir", default=None,
                        help="capture a jax.profiler trace of the Tracing phase")
+    p_run.add_argument("--cache-dir", default=".cbet_cache",
+                       help="prepare-products / tile-plan cache directory "
+                            "('' disables)")
 
     p_dump = sub.add_parser("dump", help="-D PRINT compatible dump to stdout")
     _add_config_flags(p_dump)
@@ -72,7 +75,8 @@ def main(argv=None) -> int:
 
     if args.cmd == "run":
         res = run(cfg, with_cbet=args.cbet, verbose=not args.quiet,
-                  profile_dir=args.profile_dir)
+                  profile_dir=args.profile_dir,
+                  cache_dir=args.cache_dir or None)
         paths = write_outputs(res, args.out_dir,
                               tuple(args.formats.split(",")))
         if not args.quiet:

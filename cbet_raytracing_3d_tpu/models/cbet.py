@@ -135,9 +135,37 @@ def _node_rhat(cfg: Config) -> np.ndarray:
                      (gz / r).reshape(-1)])
 
 
+def live_tile_slots(cfg: Config, ctx: rt.TraceContext) -> np.ndarray:
+    """Per-beam live-tile slot selection for CBET traces.
+
+    Like ``ctx.live_slots`` (launched-tile compaction, ~24% fewer slots on
+    the OMEGA scene) but with each beam's live tile count padded to a
+    ``tiles_per_block`` multiple using that beam's own dead tiles, so the
+    grouped per-beam intensity kernel keeps a uniform, block-aligned
+    ``tiles_per_group``.  The pupil mask is beam-independent (it applies in
+    the pre-rotation lattice frame, launch_ray_XZ.cu:94,114), so every beam
+    has the same live count — asserted."""
+    rpt = ctx.layout.rays_per_tile
+    tpb = ctx.layout.tiles_per_beam
+    mask = np.asarray(ctx.state0.alive)
+    tile_live = mask.reshape(-1, rpt).any(axis=1).reshape(cfg.nbeams, tpb)
+    counts = tile_live.sum(axis=1)
+    assert (counts == counts[0]).all(), counts
+    n_pad = -int(counts[0]) % cfg.tiles_per_block
+    tiles = []
+    for b in range(cfg.nbeams):
+        live = np.nonzero(tile_live[b])[0]
+        dead = np.nonzero(~tile_live[b])[0]
+        assert len(dead) >= n_pad, (len(dead), n_pad)
+        tiles.append(b * tpb + np.concatenate([live, dead[:n_pad]]))
+    tiles = np.concatenate(tiles)
+    return (tiles[:, None] * rpt + np.arange(rpt)[None, :]).reshape(-1)
+
+
 def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        backend: str | None = None,
-                       intensity_scatter: bool = False):
+                       intensity_scatter: bool = False,
+                       tiles_per_group: int | None = None):
     """Gain-aware trace builder; ``make()`` returns
     ``(field4, gain (B,P), bid (N,), state0) -> (edep, intensity (B,P),
     state, overflow)`` (``bid`` = per-slot beam ids, sharded alongside the
@@ -166,16 +194,31 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     # but per-beam window DMA per step is not built yet)
     grouped_pallas = (pallas and not intensity_scatter
                       and not backend.startswith("pallas_hbm"))
-    if grouped_pallas:
-        ideposit = make_tile_deposit(
-            nx, ny, nz, ctx.layout.rays_per_tile, box=cfg.deposit_box,
-            tiles_per_block=cfg.tiles_per_block, n_groups=nb,
-            tiles_per_group=ctx.layout.tiles_per_beam,
-            interpret=backend == "pallas_interpret")
+    tpg = (tiles_per_group if tiles_per_group is not None
+           else ctx.layout.tiles_per_beam)
+    rpt = ctx.layout.rays_per_tile
 
     chunk = max(1, min(cfg.chunk_steps, cfg.nt))
     n_chunks = -(-cfg.nt // chunk)
     last_chunk = cfg.nt - (n_chunks - 1) * chunk
+
+    # batched deposition (see raytracer._make_chunk_machinery): advance
+    # `batch` steps deferred, then one kernel call per grid with the
+    # contraction over batch*rays_per_tile rows — amortizes the fixed
+    # per-grid-step and per-matmul kernel costs that dominate at rows=256
+    batch = cfg.deposit_batch_steps
+    if (not grouped_pallas or batch <= 1
+            or (chunk % batch or last_chunk % batch)):
+        batch = 1
+    if batch > 1:
+        dstep = rt.make_deferred_step_fn(cfg)
+        edeposit_b = rt._make_deposit_fn(cfg, rpt * batch, backend)
+    if grouped_pallas:
+        ideposit = make_tile_deposit(
+            nx, ny, nz, rpt * batch, box=cfg.deposit_box,
+            tiles_per_block=cfg.tiles_per_block, n_groups=nb,
+            tiles_per_group=tpg,
+            interpret=backend == "pallas_interpret")
 
     def make():
         shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
@@ -189,24 +232,25 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             dvec = jnp.asarray(d, dtype)
             inv_cdt = jnp.asarray(1.0 / (k.C_CMS * cfg.dt), dtype)
 
-            def step(carry, _):
-                state, edep, ibeams, oflow = carry
-                # CBET gain along the path element of this step
+            def apply_gain(state):
+                # CBET gain along the path element of this step, looked up at
+                # the step-entry cell; the stability clamp on the per-step
+                # exponent only engages at transient resonance hotspots
+                # during early fixed-point iterations (physical per-step
+                # gains are O(1e-3..3e-2))
                 cx, cy, cz = state.cell
                 flat = (cx * ny + cy) * nz + cz
                 g = gain[bid, flat]
                 ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
                               + (state.vel[1] * dvec[1]) ** 2
                               + (state.vel[2] * dvec[2]) ** 2)
-                # stability clamp on the per-step exponent: physical per-step
-                # gains are O(1e-3..3e-2); the clamp only engages at transient
-                # resonance hotspots during early fixed-point iterations
                 factor = jnp.exp(jnp.clip(g * ds, -0.1, 0.1))
                 uray = jnp.where(state.alive, state.uray * factor, state.uray)
-                state = rt.RayState(frac=state.frac, vel=state.vel,
-                                    kick=state.kick, uray=uray,
-                                    uray_init=state.uray_init, cell=state.cell,
-                                    alive=state.alive)
+                return dataclasses.replace(state, uray=uray), ds
+
+            def step(carry, _):
+                state, edep, ibeams, oflow = carry
+                state, ds = apply_gain(state)
                 state, edep, of = base_step(state, edep, field4)
                 # per-beam local-intensity deposit (trilinear, same corner
                 # scheme as edep): uray * v/c -> W/cm^2-scale fields
@@ -227,6 +271,29 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     ibeams = flat_i.reshape(ibeams.shape)
                 return (state, edep, ibeams, oflow + of), None
 
+            def step_batched(carry, _):
+                # advance `batch` steps deferred, then one kernel call per
+                # grid with batch*rays_per_tile contraction rows
+                state, edep, ibeams, oflow = carry
+
+                def mini(st, _):
+                    st, ds = apply_gain(st)
+                    st, (cell, frac, inc) = dstep(st, field4)
+                    contrib = jnp.where(st.alive, st.uray * (ds * inv_cdt),
+                                        jnp.asarray(0.0, dtype))
+                    return st, (*cell, *frac, inc, contrib)
+
+                state, ys = jax.lax.scan(mini, state, None, length=batch)
+
+                def rearrange(a):    # (batch, N) -> tile-major (N*batch,)
+                    return (a.reshape(batch, -1, rpt)
+                            .transpose(1, 0, 2).reshape(-1))
+
+                args = [rearrange(a) for a in ys]
+                edep, of_e = edeposit_b(edep, *args[:7])
+                ibeams, of_i = ideposit(ibeams, *args[:6], args[7])
+                return (state, edep, ibeams, oflow + of_e + of_i), None
+
             # chunked accumulation (see raytracer.make_trace_fn): per-chunk
             # float32 grids promote into wider masters, and fully-dead chunks
             # are skipped
@@ -243,6 +310,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 ib0 = jnp.zeros(ishape, igrid_dtype)
 
                 def run_inner(n_steps):
+                    if batch > 1:
+                        return jax.lax.scan(step_batched,
+                                            (state, edep0, ib0, oflow),
+                                            None, length=n_steps // batch)[0]
                     return jax.lax.scan(step, (state, edep0, ib0, oflow),
                                         None, length=n_steps)[0]
 
@@ -295,11 +366,18 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     rpt = ctx.layout.rays_per_tile
     from ..parallel.sharding import AXIS, pad_rays, put_state
     n_dev = 1 if mesh is None else int(_math.prod(mesh.devices.shape))
-    state0 = put_state(pad_rays(ctx.state0, n_dev * rpt * cfg.tiles_per_block))
+    # trace only launched tiles (~24% fewer slots on the OMEGA scene),
+    # per-beam block-padded so the grouped intensity kernel keeps uniform
+    # beam groups
+    slots = live_tile_slots(cfg, ctx)
+    state0 = put_state(pad_rays(rt.select_rays(ctx.state0, slots),
+                                n_dev * rpt * cfg.tiles_per_block))
+    tpg = (len(slots) // rpt) // cfg.nbeams
     trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
-                                     intensity_scatter=n_dev > 1)
+                                     intensity_scatter=n_dev > 1,
+                                     tiles_per_group=tpg)
     # per-slot beam ids (padding slots get 0 but are permanently dead)
-    bid_np = np.maximum(ctx.beam_id, 0).astype(np.int32)
+    bid_np = np.maximum(np.asarray(ctx.beam_id)[slots], 0).astype(np.int32)
     bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
     local = trace_maker()
     if n_dev > 1:

@@ -91,17 +91,24 @@ class RayState:
 def initial_cell(cfg: Config, t: np.ndarray) -> np.ndarray:
     """Closed form of the reference's linear first-match cell scan
     (launch_ray_XZ.cu:162-183): the smallest node index within
-    ``0.5001`` cells of the position; 0 if none matches."""
-    n = np.array([cfg.nx, cfg.ny, cfg.nz])
+    ``0.5001`` cells of the position; 0 if none matches.
+
+    Works per axis on contiguous columns — (N, 3) float64 temporaries cost
+    whole seconds at config-4 scale (64M rays) on a single host core."""
+    nvec = (cfg.nx, cfg.ny, cfg.nz)
     tol = cfg.cell_tol
-    # first integer in [t - tol, t + tol] is ceil(t - tol); the +1 candidate
-    # covers the float-rounding case where ceil lands one below the window
-    c0 = np.ceil(t - tol).astype(np.int64)
-    out = np.zeros_like(c0)
-    for cand in (c0 + 1, c0):           # later write (c0) wins: first match
-        ok = (cand >= 0) & (cand <= n - 1) & (np.abs(cand - t) <= tol)
-        out = np.where(ok, cand, out)
-    return out.astype(np.int32)
+    out = np.zeros(t.shape, np.int32)
+    for ax in range(t.shape[1]):
+        ta = np.ascontiguousarray(t[:, ax])
+        # first integer in [ta - tol, ta + tol] is ceil(ta - tol); the +1
+        # candidate covers float rounding where ceil lands one below
+        c0 = np.ceil(ta - tol).astype(np.int32)
+        oa = out[:, ax]
+        for cand in (c0 + 1, c0):       # later write (c0) wins: first match
+            ok = (cand >= 0) & (cand <= nvec[ax] - 1)
+            ok &= np.abs(cand - ta) <= tol
+            np.copyto(oa, cand, where=ok)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,19 +176,96 @@ class TraceContext:
                                  # pupil-dead/padding tiles never contribute
 
 
+PREP_CACHE_VERSION = 1
+
+
+def _prep_fingerprint(cfg: Config, prof: RadialProfiles,
+                      beam_norm: np.ndarray) -> str:
+    """Config + scene-data + format fingerprint for the prepare cache."""
+    import hashlib
+
+    from ..utils.checkpoint import config_fingerprint
+    h = hashlib.sha256(config_fingerprint(cfg).encode())
+    h.update(str(PREP_CACHE_VERSION).encode())
+    for a in (prof.r, prof.ne, prof.te, beam_norm):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _state_from_mats(cfg: Config, fmat, imat, mask_slots,
+                     host_state: bool) -> RayState:
+    # upload per row from host (plain transfers): device-side row slicing
+    # of a stacked upload triggers one tiny remote compile per row through
+    # the tunneled backend (~3-5 s each — measured 67 s Init regression)
+    if host_state:
+        def dev(a):
+            return np.ascontiguousarray(a)
+    else:
+        dev = jnp.asarray
+    f_dev = [dev(fmat[i]) for i in range(11)]
+    i_dev = [dev(imat[i]) for i in range(3)]
+    return RayState(
+        frac=(f_dev[0], f_dev[1], f_dev[2]),
+        vel=(f_dev[3], f_dev[4], f_dev[5]),
+        kick=(f_dev[6], f_dev[7], f_dev[8]),
+        uray=f_dev[9],
+        uray_init=f_dev[10],
+        cell=(i_dev[0], i_dev[1], i_dev[2]),
+        alive=dev(mask_slots),
+    )
+
+
+def _live_slots_of(mask_slots: np.ndarray, rpt: int) -> np.ndarray:
+    tile_live = mask_slots.reshape(-1, rpt).any(axis=1)
+    return (np.nonzero(tile_live)[0][:, None] * rpt
+            + np.arange(rpt)[None, :]).reshape(-1)
+
+
 def prepare(cfg: Config, prof: RadialProfiles | None = None,
             beam_norm: np.ndarray | None = None,
-            host_state: bool = False) -> TraceContext:
+            host_state: bool = False,
+            cache_dir: str | None = None) -> TraceContext:
     """Host-side setup ("Init" phase): profiles, fields, rays, initial state.
 
     ``host_state=True`` leaves the ray state (and field table) as NumPy
     arrays: callers then subset/pad on the host and ``device_put`` once —
     pure transfers, no per-op compilations through the tunneled backend
-    (measured: device-side select+pad compiles cost ~7 s of Init)."""
+    (measured: device-side select+pad compiles cost ~7 s of Init).
+
+    ``cache_dir`` caches the heavy prepare products (state matrices, field
+    table, density field) on disk keyed by a config+scene fingerprint —
+    warm Init then reduces to a file read plus transfers (the reference's
+    Init is a few buffer uploads, main.cu:131-152).  The cached context
+    carries ``rays=None`` and a ``fields`` with only ``eden`` populated
+    (everything downstream needs — CBET's gain prefactor)."""
     if prof is None:
         prof = load_profiles(nr=cfg.nr)
     if beam_norm is None:
         beam_norm = load_beam_norms(nbeams=cfg.nbeams)
+
+    cache_path = None
+    if cache_dir is not None:
+        import os
+        fp = _prep_fingerprint(cfg, prof, beam_norm)
+        cache_path = os.path.join(cache_dir, f"prepare_{fp}.npz")
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                fmat, imat = z["fmat"], z["imat"]
+                mask_slots, beam_id = z["mask_slots"], z["beam_id"]
+                field4_np, eden = z["field4"], z["eden"]
+            layout = build_tile_layout(cfg)
+            dtype = jnp.dtype(cfg.dtype)
+            fields = Fields(eden=eden, etemp=None, fgrad=None, absorb=None,
+                            wsq_term=None)
+            field4 = (field4_np if host_state
+                      else jnp.asarray(field4_np, dtype))
+            state0 = _state_from_mats(cfg, fmat, imat, mask_slots, host_state)
+            return TraceContext(
+                cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields,
+                rays=None, layout=layout, field4=field4, state0=state0,
+                beam_id=beam_id,
+                live_slots=_live_slots_of(mask_slots, layout.rays_per_tile))
+
     fields = build_fields(cfg, prof)
     pow_r = power_table(cfg)
     rays = init_rays(cfg, beam_norm, pow_r)
@@ -225,46 +309,41 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     frac0 = t0 - cell0
     kick0 = f4[flat0, :3]        # gradient kick at the launch cell (step 0)
     uray_flat = rays.uray.reshape(-1)
-    fsrc = np.concatenate(
-        [frac0.T, vel0.T, kick0.T, uray_flat[None, :], uray_flat[None, :]],
-        axis=0).astype(np_dtype)                       # (11, nbeams*nrays)
     fmat = np.zeros((11, ns), np_dtype)
     fmat[10] = 1.0     # padding slots: uray_init=1 keeps the 5% rule defined
-    fmat[:, slots] = fsrc
+    # per-row contiguous cast + scatter: transposing/concatenating the (N, 3)
+    # float64 sources first costs ~10 s at OMEGA scale (strided f64 copies)
+    for i in range(3):
+        fmat[i, slots] = np.ascontiguousarray(frac0[:, i]).astype(np_dtype)
+        fmat[3 + i, slots] = np.ascontiguousarray(vel0[:, i]).astype(np_dtype)
+        fmat[6 + i, slots] = np.ascontiguousarray(kick0[:, i]).astype(np_dtype)
+    fmat[9, slots] = uray_flat.astype(np_dtype)
+    fmat[10, slots] = fmat[9, slots]
     imat = np.zeros((3, ns), np.int32)
-    imat[:, slots] = cell0.T
+    for i in range(3):
+        imat[i, slots] = cell0[:, i]
     mask_slots = np.zeros((ns,), bool)
     mask_slots[slots] = rays.mask.reshape(-1)
 
-    # upload per row from host (plain transfers): device-side row slicing
-    # of a stacked upload triggers one tiny remote compile per row through
-    # the tunneled backend (~3-5 s each — measured 67 s Init regression)
-    if host_state:
-        def dev(a):
-            return np.ascontiguousarray(a)
-    else:
-        dev = jnp.asarray
-    f_dev = [dev(fmat[i]) for i in range(11)]
-    i_dev = [dev(imat[i]) for i in range(3)]
-    state0 = RayState(
-        frac=(f_dev[0], f_dev[1], f_dev[2]),
-        vel=(f_dev[3], f_dev[4], f_dev[5]),
-        kick=(f_dev[6], f_dev[7], f_dev[8]),
-        uray=f_dev[9],
-        uray_init=f_dev[10],
-        cell=(i_dev[0], i_dev[1], i_dev[2]),
-        alive=dev(mask_slots),
-    )
     beam_id = np.full((ns,), -1, np.int32)
     beam_id[slots] = ray_beam
+
+    if cache_path is not None:
+        import os
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + f".tmp{os.getpid()}.npz"
+        field4_np = (field4 if isinstance(field4, np.ndarray)
+                     else f4.astype(dtype))
+        np.savez(tmp, fmat=fmat, imat=imat, mask_slots=mask_slots,
+                 beam_id=beam_id, field4=field4_np, eden=fields.eden)
+        os.replace(tmp, cache_path)
+
+    state0 = _state_from_mats(cfg, fmat, imat, mask_slots, host_state)
 
     # tiles with no launched ray (pupil-rejected or layout padding, ~17% on
     # the reference scene) are statically dead: the fast paths trace only
     # live-tile slots (tile granularity preserves the kernel contract)
-    rpt = layout.rays_per_tile
-    tile_live = mask_slots.reshape(-1, rpt).any(axis=1)
-    live_slots = (np.nonzero(tile_live)[0][:, None] * rpt
-                  + np.arange(rpt)[None, :]).reshape(-1)
+    live_slots = _live_slots_of(mask_slots, layout.rays_per_tile)
 
     return TraceContext(cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields,
                         rays=rays, layout=layout, field4=field4,

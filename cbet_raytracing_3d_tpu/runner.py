@@ -93,12 +93,14 @@ def check_hbm(cfg: Config, with_cbet: bool = False) -> None:
 
 def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         backend: str | None = None, verbose: bool = True,
-        profile_dir: str | None = None) -> RunResult:
+        profile_dir: str | None = None,
+        cache_dir: str | None = None) -> RunResult:
     """Full simulation run with reference-parity phase accounting.
 
     ``profile_dir`` captures a jax.profiler trace of the Tracing phase
     (SURVEY.md §5.1 — the reference only offers -lineinfo/nsight hooks);
-    unsupported backends degrade to a warning."""
+    unsupported backends degrade to a warning.  ``cache_dir`` enables the
+    prepare-products disk cache (see raytracer.prepare)."""
     timers = PhaseTimers()
     check_hbm(cfg, with_cbet)
 
@@ -117,7 +119,7 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         # host-state init: subset/pad in NumPy, one device_put (pure
         # transfers — device-side select/pad would compile through the
         # tunnel, see prepare(host_state=True))
-        ctx = rt.prepare(cfg, host_state=True)
+        ctx = rt.prepare(cfg, host_state=True, cache_dir=cache_dir)
         if mesh is None:
             mesh = sh.make_mesh()
         n_dev = int(np.prod(mesh.devices.shape))

@@ -158,3 +158,37 @@ def test_hbm_estimate_models_real_terms():
     # the deposit-stream term (the thing that blew up at batch=25) scales
     big = estimate_hbm_bytes(cfg.replace(deposit_batch_steps=25))
     assert big > 2 * est
+
+
+def test_prepare_cache_roundtrip(tmp_path):
+    """The prepare-products disk cache (Init <5s contract) must reproduce a
+    fresh prepare exactly — same state, fields table, liveness, beam ids."""
+    import numpy as np
+
+    from cbet_raytracing_3d_tpu.models import raytracer as rt
+
+    cfg = Config(nbeams=3, rays_per_zone=1, nx=20, ny=20, nz=20)
+    cache = str(tmp_path / "prep")
+    built = rt.prepare(cfg, host_state=True, cache_dir=cache)   # build + save
+    loaded = rt.prepare(cfg, host_state=True, cache_dir=cache)  # cache hit
+    fresh = rt.prepare(cfg, host_state=True)
+
+    for ctx in (built, loaded):
+        for name in ("frac", "vel", "kick", "cell"):
+            for i in range(3):
+                np.testing.assert_array_equal(
+                    getattr(ctx.state0, name)[i],
+                    getattr(fresh.state0, name)[i])
+        for name in ("uray", "uray_init", "alive"):
+            np.testing.assert_array_equal(getattr(ctx.state0, name),
+                                          getattr(fresh.state0, name))
+        np.testing.assert_array_equal(np.asarray(ctx.field4),
+                                      np.asarray(fresh.field4))
+        np.testing.assert_array_equal(ctx.beam_id, fresh.beam_id)
+        np.testing.assert_array_equal(ctx.live_slots, fresh.live_slots)
+        np.testing.assert_array_equal(ctx.fields.eden, fresh.fields.eden)
+
+    # a config change must miss (different fingerprint), not collide
+    cfg2 = cfg.replace(nx=24)
+    other = rt.prepare(cfg2, host_state=True, cache_dir=cache)
+    assert other.field4.shape != loaded.field4.shape

@@ -231,6 +231,12 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             dtype = state0.uray.dtype
             dvec = jnp.asarray(d, dtype)
             inv_cdt = jnp.asarray(1.0 / (k.C_CMS * cfg.dt), dtype)
+            # flat 1-D gain lookup with a precomputed per-slot beam offset:
+            # 2-D advanced indexing gain[bid, flat] lowers to a measured
+            # ~4x-slower gather path (21 ms/step vs ~5 for the 4-wide field
+            # row gather); the 1-D take rides the fast row-gather path
+            gain_flat = gain.reshape(-1)
+            bid_off = bid.astype(jnp.int32) * jnp.int32(P)
 
             def apply_gain(state):
                 # CBET gain along the path element of this step, looked up at
@@ -240,7 +246,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 # gains are O(1e-3..3e-2))
                 cx, cy, cz = state.cell
                 flat = (cx * ny + cy) * nz + cz
-                g = gain[bid, flat]
+                g = jnp.take(gain_flat, bid_off + flat, axis=0)
                 ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
                               + (state.vel[1] * dvec[1]) ** 2
                               + (state.vel[2] * dvec[2]) ** 2)

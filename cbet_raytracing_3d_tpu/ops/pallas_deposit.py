@@ -172,7 +172,10 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
 
     # M[s, x*BYK+y] = hat_x * hat_y on the collapsed index against
     # constant x/y index planes (Mosaic cannot reshape non-minor
-    # dims into lanes)
+    # dims into lanes).  Computing the y hat on a small (R, BYK) plane
+    # and lane-tiling it with pltpu.repeat was measured SLOWER (2.30 ->
+    # 2.90 s full trace) — the repeat lowers to per-copy passes that cost
+    # more than the 4 hat ops it saves.
     xx_of = xyidx_ref[0:1, :].astype(jnp.float32)    # (1, BX*BYK)
     yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
     if ablate == "no_mbuild":
@@ -362,6 +365,12 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
                     jax.ShapeDtypeStruct((1, 1), jnp.int32),
                 ],
                 input_output_aliases={3: 0},
+                # the aliased in+out group grids plus the batched hat/M
+                # temporaries exceed the 16 MB default scoped-vmem budget by
+                # <1 MB at deposit_batch_steps=5; v5e has 128 MiB physical
+                # VMEM, so raise the cap rather than shrink the batch
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=32 * 1024 * 1024),
                 interpret=interpret,
             )(ints, flts, xyidx, edep)
         else:
@@ -372,6 +381,11 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
                     jax.ShapeDtypeStruct(gshape, jnp.float32),
                     jax.ShapeDtypeStruct((1, 1), jnp.int32),
                 ],
+                # the default 16 MB scoped-vmem cap binds before physical
+                # VMEM does (128 MiB on v5e): the batched M/hat temporaries
+                # scale with deposit_batch_steps (batch 10 needs ~28 MB)
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
                 interpret=interpret,
             )(ints, flts, xyidx)
             edep_out = edep + delta

@@ -161,8 +161,10 @@ class TraceContext:
     cfg: Config
     prof: RadialProfiles
     beam_norm: np.ndarray        # (nbeams, 3) float64
-    fields: Fields               # float64 node fields
-    rays: RayInit                # float64 launch state (nbeams, nrays, ...)
+    fields: Fields               # float64 node fields (cache-loaded contexts
+                                 # carry only .eden — all downstream needs)
+    rays: RayInit | None         # float64 launch state (nbeams, nrays, ...);
+                                 # None when loaded from the prepare cache
     layout: TileLayout
     field4: jnp.ndarray          # (P, 4) interleaved kick_x/y/z + absorb fields
                                  # (f32 rows; the TPU gather cost is linear in

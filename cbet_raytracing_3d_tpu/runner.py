@@ -166,7 +166,8 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
 
 def run_resumable(cfg: Config, *, checkpoint_path: str,
                   checkpoint_every: int = 4, resume: bool = False,
-                  backend: str | None = None, verbose: bool = True) -> RunResult:
+                  backend: str | None = None, verbose: bool = True,
+                  cache_dir: str | None = None) -> RunResult:
     """Single-device trace with chunk-granular checkpointing (SURVEY.md §5.4
     — an aux capability the reference lacks).  Interrupt-safe: re-invoke with
     ``resume=True`` to continue from the last saved chunk."""
@@ -177,7 +178,7 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
 
     timers = PhaseTimers()
     with timers.phase("Init"):
-        ctx = rt.prepare(cfg, host_state=True)
+        ctx = rt.prepare(cfg, host_state=True, cache_dir=cache_dir)
         state = sh.put_state(sh.pad_rays(
             rt.select_rays(ctx.state0, ctx.live_slots),
             ctx.layout.rays_per_tile * cfg.tiles_per_block))

@@ -165,7 +165,8 @@ def live_tile_slots(cfg: Config, ctx: rt.TraceContext) -> np.ndarray:
 def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        backend: str | None = None,
                        intensity_scatter: bool = False,
-                       tiles_per_group: int | None = None):
+                       tiles_per_group: int | None = None,
+                       _ablate: str = ""):
     """Gain-aware trace builder; ``make()`` returns
     ``(field4, gain (B,P), bid (N,), state0) -> (edep, intensity (B,P),
     state, overflow)`` (``bid`` = per-slot beam ids, sharded alongside the
@@ -244,12 +245,14 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 # exponent only engages at transient resonance hotspots
                 # during early fixed-point iterations (physical per-step
                 # gains are O(1e-3..3e-2))
-                cx, cy, cz = state.cell
-                flat = (cx * ny + cy) * nz + cz
-                g = jnp.take(gain_flat, bid_off + flat, axis=0)
                 ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
                               + (state.vel[1] * dvec[1]) ** 2
                               + (state.vel[2] * dvec[2]) ** 2)
+                if _ablate == "no_gain":       # cost attribution only
+                    return state, ds
+                cx, cy, cz = state.cell
+                flat = (cx * ny + cy) * nz + cz
+                g = jnp.take(gain_flat, bid_off + flat, axis=0)
                 factor = jnp.exp(jnp.clip(g * ds, -0.1, 0.1))
                 uray = jnp.where(state.alive, state.uray * factor, state.uray)
                 return dataclasses.replace(state, uray=uray), ds
@@ -263,7 +266,9 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 contrib = jnp.where(state.alive,
                                     state.uray * (ds * inv_cdt),
                                     jnp.asarray(0.0, dtype))
-                if grouped_pallas:
+                if _ablate == "no_intensity":
+                    pass
+                elif grouped_pallas:
                     ibeams, of_i = ideposit(ibeams, *state.cell, *state.frac,
                                             contrib)
                     of = of + of_i
@@ -297,7 +302,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
 
                 args = [rearrange(a) for a in ys]
                 edep, of_e = edeposit_b(edep, *args[:7])
-                ibeams, of_i = ideposit(ibeams, *args[:6], args[7])
+                if _ablate == "no_intensity":
+                    of_i = jnp.int32(0)
+                else:
+                    ibeams, of_i = ideposit(ibeams, *args[:6], args[7])
                 return (state, edep, ibeams, oflow + of_e + of_i), None
 
             # chunked accumulation (see raytracer.make_trace_fn): per-chunk

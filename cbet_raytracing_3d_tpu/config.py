@@ -75,6 +75,15 @@ class Config:
     cbet_relax: float = 0.5           # under-relaxation of the intensity-field update
     machnum: float = k.MACH           # flow Mach number (def.cuh:99; machnum undefined there)
     ncrossings_mult: int = 3          # ncrossings = mult*nx (def.cuh:96)
+    # CBET intensity/gain grid coarsening: 1 evaluates the per-beam intensity
+    # fields and gain on the full node grid; s>1 uses an s-times-coarser node
+    # grid (nodes at full-grid indices 0, s, 2s, ...).  The gain fields are
+    # smooth (ion-acoustic response x beam envelopes), so coarsening trades
+    # a measured-small model perturbation for s^3-fold cheaper per-iteration
+    # gain evaluation, intensity deposition, and gain-table lookups (the
+    # three dominant CBET costs — DESIGN_NOTES.md).  The coupled edep stays
+    # full-resolution either way.
+    cbet_grid_downsample: int = 1
 
     # --- execution ---
     parity: Literal["clean", "reference"] = "clean"
@@ -204,6 +213,14 @@ class Config:
     @property
     def dedz_const(self) -> float:
         return self.grad_const / self.dz
+
+    @property
+    def cbet_grid_shape(self) -> tuple:
+        """Node counts of the (possibly coarsened) CBET intensity/gain grid:
+        ceil(n/s) nodes cover full-grid node indices 0, s, ..., exactly the
+        stride-``s`` subsample of the full node grid."""
+        s = self.cbet_grid_downsample
+        return (-(-self.nx // s), -(-self.ny // s), -(-self.nz // s))
 
     @property
     def edep_shape(self) -> tuple:

@@ -59,7 +59,10 @@ from . import raytracer as rt
 @dataclasses.dataclass
 class CbetResult:
     edep: np.ndarray          # ghost-padded deposition with CBET-coupled rays
-    intensity: np.ndarray     # (nbeams, nx, ny, nz) final node intensity fields
+                              # (always full-resolution)
+    intensity: np.ndarray     # (nbeams, *cfg.cbet_grid_shape) final node
+                              # intensity fields (coarsened when
+                              # cbet_grid_downsample > 1)
     iterations: int
     converged: bool
     history: list             # per-iteration relative field change
@@ -98,41 +101,107 @@ def resonance(eta: jnp.ndarray, iaw: float = k.IAW) -> jnp.ndarray:
     return (iaw * iaw) * eta / ((e2 - 1.0) ** 2 + (iaw * iaw) * e2)
 
 
-def make_gain_fn(cfg: Config, ctx: rt.TraceContext):
-    """Jitted ``I (B, P) -> G (B, P)`` on the unpadded node grid."""
-    P = cfg.nx * cfg.ny * cfg.nz
-    rhat = _node_rhat(cfg)                              # (3, P) f32
-    pre = gain_prefactor_field(cfg, ctx.fields).reshape(-1)
+def make_gain_fn(cfg: Config, ctx: rt.TraceContext,
+                 backend: str | None = None):
+    """Jitted ``I (B, P) -> G (B, P)`` on the (possibly coarsened, see
+    Config.cbet_grid_downsample) unpadded CBET node grid.
+
+    The reduction must never materialize its (B, B, P) intermediate (14 GB
+    at OMEGA scale) — every pure-XLA formulation tried (scan over partner
+    beams, broadcast+reduce, P-blocked scan) runs 12-31 s/call HBM-bound on
+    a v5e (measured); the Pallas kernel (ops/pallas_gain.py) keeps each
+    P-block in VMEM and is compute-bound.  ``backend``: "pallas" (TPU),
+    "pallas_interpret" (kernel on CPU, tests), "xla" (plain reduce — the
+    reference semantics oracle-checkable on CPU); None resolves by
+    platform."""
+    s = cfg.cbet_grid_downsample
+    ph = cfg.cbet_grid_shape
+    P = ph[0] * ph[1] * ph[2]
+    rhat = _node_rhat(cfg, s)                           # (3, P) f32
+    pre = gain_prefactor_field(cfg, ctx.fields)[::s, ::s, ::s].reshape(-1)
     pair_u = pair_couplings(ctx.beam_norm, cfg.machnum)  # (B, B, 3)
+    B = cfg.nbeams
+
+    pair_j = jnp.asarray(pair_u, jnp.float32)
+    if backend is None:
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+
+    if backend.startswith("pallas"):
+        from ..ops.pallas_gain import make_gain_kernel
+        rp = np.concatenate([rhat, pre[None, :]], axis=0).astype(np.float32)
+        rp_j = jnp.asarray(rp)                          # (4, P)
+        kfn = make_gain_kernel(B, P, k.IAW,
+                               interpret=backend == "pallas_interpret")
+
+        @jax.jit
+        def gain(intensity):                            # (B, P)
+            return kfn(pair_j, rp_j, intensity)
+
+        return gain
 
     rhat_j = jnp.asarray(rhat, jnp.float32)
     pre_j = jnp.asarray(pre, jnp.float32)
-    pair_j = jnp.asarray(pair_u, jnp.float32)
 
     def gain(intensity):                                # (B, P)
-        def body(g, bprime):
-            u = pair_j[:, bprime, :]                    # (B, 3)
-            eta = (u[:, 0:1] * rhat_j[0][None, :]
-                   + u[:, 1:2] * rhat_j[1][None, :]
-                   + u[:, 2:3] * rhat_j[2][None, :])    # (B, P)
-            g = g + resonance(eta) * intensity[bprime][None, :]
-            return g, None
-        g0 = jnp.zeros_like(intensity)
-        g, _ = jax.lax.scan(body, g0, jnp.arange(intensity.shape[0]))
+        eta = (pair_j[:, :, 0:1] * rhat_j[0][None, None, :]
+               + pair_j[:, :, 1:2] * rhat_j[1][None, None, :]
+               + pair_j[:, :, 2:3] * rhat_j[2][None, None, :])   # (B, B, P)
+        g = jnp.sum(resonance(eta) * intensity[None, :, :], axis=1)
         return g * pre_j[None, :]
 
     return jax.jit(gain)
 
 
-def _node_rhat(cfg: Config) -> np.ndarray:
-    x = np.arange(cfg.nx) * cfg.dx + cfg.xmin
-    y = np.arange(cfg.ny) * cfg.dy + cfg.ymin
-    z = np.arange(cfg.nz) * cfg.dz + cfg.zmin
+def _node_rhat(cfg: Config, s: int = 1) -> np.ndarray:
+    """Unit radial vectors at the CBET-grid nodes (full-grid indices
+    0, s, 2s, ...)."""
+    x = np.arange(0, cfg.nx, s) * cfg.dx + cfg.xmin
+    y = np.arange(0, cfg.ny, s) * cfg.dy + cfg.ymin
+    z = np.arange(0, cfg.nz, s) * cfg.dz + cfg.zmin
     gx, gy, gz = np.meshgrid(x, y, z, indexing="ij")
     r = np.sqrt(gx ** 2 + gy ** 2 + gz ** 2)
     r = np.where(r > 1e-12, r, 1.0)
     return np.stack([(gx / r).reshape(-1), (gy / r).reshape(-1),
                      (gz / r).reshape(-1)])
+
+
+def make_gain_upsampler(cfg: Config):
+    """Jitted trilinear upsample of a coarse (B, Ph) gain field to the full
+    (B, P) node grid — one call per fixed-point iteration when
+    ``cbet_grid_downsample > 1`` (the per-step gain lookup stays
+    full-resolution; see make_cbet_trace_fn).  Separable per-axis linear
+    interpolation from coarse nodes (full indices 0, s, 2s, ...), clamped at
+    the upper edge."""
+    s = cfg.cbet_grid_downsample
+    hx, hy, hz = cfg.cbet_grid_shape
+    nb = cfg.nbeams
+
+    def axis_interp(a, n_full: int, nh: int, axis: int):
+        # gather-free: lo/hi come from uniform repeats (broadcast+reshape on
+        # TPU) of the coarse array and its one-shifted copy — jnp.take along
+        # a small axis was measured at ~10 s/axis on a v5e (gathers with
+        # duplicate-heavy indices), vs milliseconds for this form
+        a_hi_src = jnp.concatenate(
+            [jax.lax.slice_in_dim(a, 1, nh, axis=axis),
+             jax.lax.slice_in_dim(a, nh - 1, nh, axis=axis)], axis=axis)
+        a_lo = jnp.repeat(a, s, axis=axis)
+        a_hi = jnp.repeat(a_hi_src, s, axis=axis)
+        w = jnp.tile(jnp.arange(s, dtype=a.dtype) / s, nh)
+        shape = [1] * a.ndim
+        shape[axis] = nh * s
+        w = w.reshape(shape)
+        out = a_lo * (1 - w) + a_hi * w
+        return jax.lax.slice_in_dim(out, 0, n_full, axis=axis)
+
+    @jax.jit
+    def upsample(gain_h):                      # (B, Ph)
+        g = gain_h.reshape(nb, hx, hy, hz)
+        g = axis_interp(g, cfg.nx, hx, 1)
+        g = axis_interp(g, cfg.ny, hy, 2)
+        g = axis_interp(g, cfg.nz, hz, 3)
+        return g.reshape(nb, cfg.nx * cfg.ny * cfg.nz)
+
+    return upsample
 
 
 def live_tile_slots(cfg: Config, ctx: rt.TraceContext) -> np.ndarray:
@@ -180,7 +249,12 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     if backend is None:
         backend = rt.resolve_deposit_backend(cfg)
     base_step = rt.make_step_fn(cfg, ctx.layout.rays_per_tile, backend)
-    P = nx * ny * nz
+    # the CBET intensity/gain grid may be coarser than the trace grid
+    # (Config.cbet_grid_downsample); all CBET-side indexing below is in
+    # coarse-node units, the edep path stays full-resolution
+    s = cfg.cbet_grid_downsample
+    hx, hy, hz = cfg.cbet_grid_shape
+    P = nx * ny * nz              # per-step gain lookups are full-resolution
     nb = cfg.nbeams
     d = np.array([cfg.dx, cfg.dy, cfg.dz])
 
@@ -214,24 +288,42 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     if batch > 1:
         dstep = rt.make_deferred_step_fn(cfg)
         edeposit_b = rt._make_deposit_fn(cfg, rpt * batch, backend)
+    # the intensity deposit box shrinks with the grid (a tile's 5-step
+    # window spans ~1/s as many coarse nodes); +4 margin, and the overflow
+    # counter still hard-errors if it ever falls short
+    ibox = (cfg.deposit_box if s == 1
+            else tuple(-(-b // s) + 4 for b in cfg.deposit_box))
     if grouped_pallas:
         ideposit = make_tile_deposit(
-            nx, ny, nz, rpt * batch, box=cfg.deposit_box,
+            hx, hy, hz, rpt * batch, box=ibox,
             tiles_per_block=cfg.tiles_per_block, n_groups=nb,
             tiles_per_group=tpg,
             interpret=backend == "pallas_interpret")
 
+    def to_coarse(cell, frac):
+        """Full-grid (cell, frac) -> coarse-grid (cell, frac): the position
+        t = cell + frac in full node units equals s * (ch + fh)."""
+        if s == 1:
+            return tuple(cell), tuple(frac)
+        ch = tuple(c // s for c in cell)
+        fh = tuple(((cell[a] - ch[a] * s).astype(frac[a].dtype) + frac[a])
+                   * (1.0 / s) for a in range(3))
+        return ch, fh
+
     def make():
         shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
                   else cfg.edep_shape)
-        ishape = ((nb,) + shape3 if grouped_pallas
-                  else (nb,) + cfg.edep_shape)
+        ishape = ((nb,) + edep_zpad_shape(hx, hy, hz) if grouped_pallas
+                  else (nb, hx + 2, hy + 2, hz + 2))
 
         # bid is a (sharded) argument: per-slot beam ids travel with the rays
         def trace(field4, gain, bid, state0: rt.RayState):
             dtype = state0.uray.dtype
             dvec = jnp.asarray(d, dtype)
-            inv_cdt = jnp.asarray(1.0 / (k.C_CMS * cfg.dt), dtype)
+            # intensity is deposited per coarse-node *density*: a coarse node
+            # collects s^3 more ray-step weight than a full-grid node, so the
+            # per-step contribution carries a 1/s^3 normalization
+            inv_cdt = jnp.asarray(1.0 / (k.C_CMS * cfg.dt * s ** 3), dtype)
             # flat 1-D gain lookup with a precomputed per-slot beam offset:
             # 2-D advanced indexing gain[bid, flat] lowers to a measured
             # ~4x-slower gather path (21 ms/step vs ~5 for the 4-wide field
@@ -250,6 +342,11 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                               + (state.vel[2] * dvec[2]) ** 2)
                 if _ablate == "no_gain":       # cost attribution only
                     return state, ds
+                # the lookup table is ALWAYS full-resolution (coarsened gain
+                # fields are trilinearly upsampled once per fixed-point
+                # iteration, cbet_solve) — nearest-coarse-node lookups were
+                # measured to distort the coupled edep by >half the CBET
+                # effect on the two-beam validation scene
                 cx, cy, cz = state.cell
                 flat = (cx * ny + cy) * nz + cz
                 g = jnp.take(gain_flat, bid_off + flat, axis=0)
@@ -266,17 +363,17 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 contrib = jnp.where(state.alive,
                                     state.uray * (ds * inv_cdt),
                                     jnp.asarray(0.0, dtype))
+                icell, ifrac = to_coarse(state.cell, state.frac)
                 if _ablate == "no_intensity":
                     pass
                 elif grouped_pallas:
-                    ibeams, of_i = ideposit(ibeams, *state.cell, *state.frac,
-                                            contrib)
+                    ibeams, of_i = ideposit(ibeams, *icell, *ifrac, contrib)
                     of = of + of_i
                 else:
                     # one scatter into the per-beam grids via beam offsets
                     idx, val = rt._scatter_corner_parts(
-                        cfg, state.cell, state.frac, contrib)
-                    grid_elems = (cfg.nx + 2) * (cfg.ny + 2) * (cfg.nz + 2)
+                        cfg, icell, ifrac, contrib, dims=(hx, hy, hz))
+                    grid_elems = (hx + 2) * (hy + 2) * (hz + 2)
                     off = jnp.concatenate([bid * grid_elems] * 8)
                     flat_i = ibeams.reshape(-1).at[idx + off].add(val)
                     ibeams = flat_i.reshape(ibeams.shape)
@@ -305,7 +402,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 if _ablate == "no_intensity":
                     of_i = jnp.int32(0)
                 else:
-                    ibeams, of_i = ideposit(ibeams, *args[:6], args[7])
+                    icell, ifrac = to_coarse(args[:3], args[3:6])
+                    ibeams, of_i = ideposit(ibeams, *icell, *ifrac, args[7])
                 return (state, edep, ibeams, oflow + of_e + of_i), None
 
             # chunked accumulation (see raytracer.make_trace_fn): per-chunk
@@ -353,9 +451,9 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             if pallas:
                 edep = finalize_edep(edep, cfg.ny, cfg.nz)
             if grouped_pallas:
-                ibeams = finalize_edep(ibeams, cfg.ny, cfg.nz)
-            # crop ghosts -> per-beam node fields (B, P)
-            inodes = ibeams[:, 1:-1, 1:-1, 1:cfg.nz + 1].reshape(nb, P)
+                ibeams = finalize_edep(ibeams, hy, hz)
+            # crop ghosts -> per-beam node fields (B, Ph) on the CBET grid
+            inodes = ibeams[:, 1:-1, 1:-1, 1:hz + 1].reshape(nb, hx * hy * hz)
             return edep, inodes, state, oflow
 
         return trace
@@ -410,9 +508,15 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     else:
         trace = jax.jit(local)
 
-    P = cfg.nx * cfg.ny * cfg.nz
+    hx, hy, hz = cfg.cbet_grid_shape
     nb = cfg.nbeams
-    zero_gain = jnp.zeros((nb, P), jnp.dtype(cfg.dtype))
+    # the per-step lookup table is always full-resolution; coarse gain
+    # fields (cbet_grid_downsample > 1) are trilinearly upsampled once per
+    # iteration (cheap) rather than sampled at coarse nodes per step
+    # (measured to distort the coupled edep by >half the CBET effect)
+    zero_gain = jnp.zeros((nb, cfg.nx * cfg.ny * cfg.nz), jnp.dtype(cfg.dtype))
+    upsample = (make_gain_upsampler(cfg) if cfg.cbet_grid_downsample > 1
+                else (lambda g: g))
 
     edep, intensity, state, oflow = trace(ctx.field4, zero_gain, bid, state0)
     rt.check_overflow(int(jax.device_get(oflow)), cfg)
@@ -423,7 +527,8 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     # *slower* than plain under-relaxation (16 vs 9 iterations on the
     # two-beam problem) — the damped iteration is already near-optimal.
     for it in range(1, cfg.cbet_max_iters + 1):
-        gain = gain_fn(intensity.astype(jnp.float32)).astype(zero_gain.dtype)
+        gain = upsample(gain_fn(intensity.astype(jnp.float32))
+                        ).astype(zero_gain.dtype)
         edep, i_new, state, oflow = trace(ctx.field4, gain, bid, state0)
         rt.check_overflow(int(jax.device_get(oflow)), cfg)
         scale = float(jnp.max(jnp.abs(intensity)))
@@ -442,5 +547,5 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     return CbetResult(
         edep=np.asarray(jax.device_get(edep), np.float64),
         intensity=np.asarray(jax.device_get(intensity), np.float64).reshape(
-            nb, cfg.nx, cfg.ny, cfg.nz),
+            nb, hx, hy, hz),
         iterations=it, converged=converged, history=history, stats=stats)

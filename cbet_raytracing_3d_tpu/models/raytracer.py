@@ -386,11 +386,15 @@ def _reindex_axis(cell, frac, n: int, tol: float):
     return dsel
 
 
-def _scatter_corner_parts(cfg: Config, cell, frac, inc):
+def _scatter_corner_parts(cfg: Config, cell, frac, inc, dims=None):
     """Flattened (8N,) corner indices/values for the XLA scatter backend.
 
-    Transcribes the trilinear corner scheme (launch_ray_XZ.cu:319-348)."""
-    nyp, nzp = cfg.ny + 2, cfg.nz + 2
+    Transcribes the trilinear corner scheme (launch_ray_XZ.cu:319-348).
+    ``dims`` overrides the (nx, ny, nz) node counts of the target grid
+    (used by the CBET stage's coarsened intensity grids)."""
+    if dims is None:
+        dims = (cfg.nx, cfg.ny, cfg.nz)
+    nyp, nzp = dims[1] + 2, dims[2] + 2
     dtype = inc.dtype
     p = [f - 0.5 for f in frac]
     dwt = [1.0 - jnp.abs(pp) for pp in p]            # dm, dn, dl

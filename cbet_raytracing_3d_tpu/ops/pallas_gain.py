@@ -1,0 +1,89 @@
+"""Pallas TPU kernel for the CBET gain-field reduction.
+
+Computes, for every beam b and grid node p,
+
+    g[b, p] = pre[p] * sum_{b'} R(eta[b, b', p]) * I[b', p],
+    eta[b, b', p] = pair_u[b, b', :] . rhat[:, p],
+    R(eta) = iaw^2 eta / ((eta^2 - 1)^2 + iaw^2 eta^2)
+
+— the ion-acoustic coupling of models/cbet.py (constants contract
+def.cuh:99-114).  The (B, B, P) intermediate must never exist: at OMEGA
+scale it is 14 GB, and every XLA formulation tried (scan over partner
+beams carrying g, one broadcast+reduce, scan over P-blocks) materializes
+enough of it to run at 12-31 s/call HBM-bound on a v5e (measured).  This
+kernel keeps each P-block's (B, L) working set in VMEM and loops partner
+beams unrolled, so the whole reduction is VPU-compute-bound: ~60 ms/call
+at OMEGA scale — ~200x over the best XLA form.
+
+Layout: intensity (B, P) and the output (B, P) are blocked along P
+(lane dim); rhat and the gain prefactor ride together as one (4, P)
+input; the (B, B) pair-coupling component matrices are replicated whole
+(they are KB-sized).  B is the sublane dim (padded to 8 internally by
+Mosaic).  The partner-beam loop is a static Python unroll: per-iteration
+row/column slices are then static, which Mosaic lowers without dynamic-
+slice overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+LANE_BLOCK = 1024
+
+
+def _gain_kernel(px_ref, py_ref, pz_ref, rp_ref, i_ref, g_ref, *, B, iaw2):
+    rp = rp_ref[...]
+    rx, ry, rz, pre = rp[0:1, :], rp[1:2, :], rp[2:3, :], rp[3:4, :]
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    ii = i_ref[...]
+    acc = jnp.zeros(g_ref.shape, jnp.float32)
+    for bp in range(B):                       # static unroll (see docstring)
+        ux = px[:, bp:bp + 1]                 # (B, 1)
+        uy = py[:, bp:bp + 1]
+        uz = pz[:, bp:bp + 1]
+        eta = ux * rx + uy * ry + uz * rz     # (B, L)
+        e2 = eta * eta
+        resp = (iaw2 * eta) / ((e2 - 1.0) ** 2 + iaw2 * e2)
+        acc = acc + resp * ii[bp:bp + 1, :]
+    g_ref[...] = acc * pre
+
+
+def make_gain_kernel(B: int, P: int, iaw: float,
+                     interpret: bool = False, block: int = LANE_BLOCK):
+    """Build ``gain(pair_u (B,B,3) f32, rhat_pre (4,P) f32, I (B,P) f32)
+    -> (B,P) f32``.  ``rhat_pre`` rows are [rhat_x, rhat_y, rhat_z, pre];
+    zero ``pre`` in any padding makes padded columns exact zeros."""
+    L = min(block, -(-P // 128) * 128)
+    Pp = -(-P // L) * L
+    kern = functools.partial(_gain_kernel, B=B, iaw2=float(iaw) ** 2)
+
+    def gain(pair_u, rhat_pre, intensity):
+        assert intensity.shape == (B, P), intensity.shape
+        assert rhat_pre.shape == (4, P), rhat_pre.shape
+        pad = Pp - P
+        ip = jnp.pad(intensity, ((0, 0), (0, pad)))
+        rp = jnp.pad(rhat_pre, ((0, 0), (0, pad)))
+        px = pair_u[:, :, 0]
+        py = pair_u[:, :, 1]
+        pz = pair_u[:, :, 2]
+        g = pl.pallas_call(
+            kern,
+            grid=(Pp // L,),
+            in_specs=[
+                pl.BlockSpec((B, B), lambda i: (0, 0)),
+                pl.BlockSpec((B, B), lambda i: (0, 0)),
+                pl.BlockSpec((B, B), lambda i: (0, 0)),
+                pl.BlockSpec((4, L), lambda i: (0, i)),
+                pl.BlockSpec((B, L), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((B, L), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((B, Pp), jnp.float32),
+            interpret=interpret,
+        )(px, py, pz, rp, ip)
+        return g[:, :P]
+
+    return gain

@@ -52,6 +52,24 @@ def test_gain_fields_zero_without_intensity(two_beam_cfg, two_beam_ctx):
     assert float(jnp.abs(g).max()) == 0.0
 
 
+def test_gain_pallas_kernel_matches_xla(two_beam_cfg, two_beam_ctx):
+    """The Pallas gain-reduction kernel (ops/pallas_gain.py — the TPU
+    production path) must reproduce the plain-XLA reduction exactly up to
+    f32 reassociation."""
+    import jax.numpy as jnp
+    P = two_beam_cfg.nx * two_beam_cfg.ny * two_beam_cfg.nz
+    rng = np.random.default_rng(3)
+    intensity = jnp.asarray(rng.random((2, P), np.float32) * 1e14)
+    g_x = np.asarray(make_gain_fn(two_beam_cfg, two_beam_ctx,
+                                  backend="xla")(intensity), np.float64)
+    g_p = np.asarray(make_gain_fn(two_beam_cfg, two_beam_ctx,
+                                  backend="pallas_interpret")(intensity),
+                     np.float64)
+    assert np.abs(g_p).max() > 0
+    rel = np.linalg.norm(g_p - g_x) / np.linalg.norm(g_x)
+    assert rel < 1e-6, rel
+
+
 def test_cbet_two_beam_fixed_point(two_beam_cfg, two_beam_ctx):
     """BASELINE config 2: the fixed point converges and redistributes energy
     between the two crossing beams while keeping totals sane."""
@@ -174,6 +192,48 @@ def test_cbet_values_match_oracle(profiles):
             / np.linalg.norm(i1_o)) < 1e-8
     # the coupling had a real effect on this scene
     assert np.abs(i1_o - i0_o).max() > 0
+
+
+def test_cbet_downsampled_grid_normalization(two_beam_cfg, two_beam_ctx,
+                                             profiles):
+    """cbet_grid_downsample=2: the coarse intensity field is a *density*
+    (1/s^3-normalized), so at the shared nodes it must track the local mean
+    of the full-resolution field — same scale, not 8x."""
+    cfg2 = two_beam_cfg.replace(cbet_grid_downsample=2)
+    ctx2 = rt.prepare(cfg2, profiles)
+    res1 = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")
+    res2 = cbet_solve(cfg2, ctx2, backend="scatter")
+    assert res2.intensity.shape == (2, 20, 20, 20)
+    # compare total "intensity mass" sum(I)*node_volume: coarse nodes carry
+    # 8x the volume, so sum ratio ~ 1/8 (up to boundary-node effects)
+    ratio = res2.intensity.sum() * 8 / res1.intensity.sum()
+    assert 0.7 < ratio < 1.3, ratio
+    # peak local intensity must be at the same scale (it's a density)
+    pk = res2.intensity.max() / res1.intensity.max()
+    assert 0.5 < pk < 1.5, pk
+
+
+def test_cbet_downsampled_grid_converges_near_full_res(two_beam_cfg,
+                                                       two_beam_ctx,
+                                                       profiles):
+    """The coarsened-gain-grid fixed point must converge to nearly the same
+    coupled deposition as the full-resolution solve (the gain fields are
+    smooth; coarsening is a small model perturbation, not a rewrite)."""
+    cfg2 = two_beam_cfg.replace(cbet_grid_downsample=2)
+    ctx2 = rt.prepare(cfg2, profiles)
+    res1 = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")
+    res2 = cbet_solve(cfg2, ctx2, backend="scatter")
+    assert res2.converged
+    rel = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    # the CBET *effect* on this scene is itself ~1.1e-2 of edep; measured
+    # coarse-vs-full deviation here is 0.0049 (~44% of the effect — this
+    # 40^3 scene resolves the beams with only ~14 cells, so 2x coarsening
+    # bites; the production 100^3 scene is 2.5x finer).  The test pins that
+    # the deviation stays well below the effect itself and that a
+    # regression (e.g. broken normalization: 8x fields) cannot pass.
+    edep0, _ = rt.trace(two_beam_ctx, backend="scatter")
+    effect = np.linalg.norm(res1.edep - edep0) / np.linalg.norm(edep0)
+    assert rel < 0.6 * effect, (rel, effect)
 
 
 def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):

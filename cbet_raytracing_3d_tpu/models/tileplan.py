@@ -104,7 +104,12 @@ def build_segments(plan: TilePlan, cfg: Config, nt: int,
     n_chunks = -(-nt // chunk)
     last = nt - (n_chunks - 1) * chunk
     lengths = [chunk] * (n_chunks - 1) + [last]
-    live = plan.chunk_live
+    # suffix-OR: a tile is "live from chunk c" if it deposits in ANY chunk
+    # >= c.  Raw per-chunk liveness is NOT monotone (rays can cross
+    # near-vacuum where the absorption increment is exactly zero for a whole
+    # chunk and deposit again later), and segments must be nested subsets.
+    live = np.flip(np.logical_or.accumulate(
+        np.flip(plan.chunk_live, 0), 0), 0)
     T = live.shape[1]
     tb = cfg.tiles_per_block
 
@@ -139,6 +144,122 @@ def _pad_segment(lengths, tiles, tb) -> Segment:
         tiles = np.concatenate([tiles, np.full(pad, tiles[0], np.int64)])
         valid[n:] = False
     return Segment(chunk_lengths=tuple(lengths), tiles=tiles, valid=valid)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceSegments:
+    """A per-device-balanced segmented schedule for ``n_dev`` devices.
+
+    Every device executes the SAME segment structure (shard_map traces one
+    program), so per-segment tile counts are equalized across devices by
+    dup-padding; only the tile *ids* differ per device, and those travel as
+    sharded array arguments into the trace.
+
+    ``tiles[s]``/``valid[s]`` are (n_dev, T_s) arrays; ``tiles`` ids are in
+    the traced (segment-0, device-local) tile space for s>0 and in the
+    GLOBAL tile space for s=0 (the caller orders the initial ray state
+    device-major from ``tiles[0]``)."""
+
+    chunk_lengths: tuple        # per segment: tuple of scan-chunk lengths
+    tiles: tuple                # per segment: (n_dev, T_s) int64
+    valid: tuple                # per segment: (n_dev, T_s) bool
+
+
+def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
+                          n_dev: int, shrink: float = 0.9) -> DeviceSegments:
+    """Partition tiles across devices balanced by lifetime, then build a
+    common segment schedule (see DeviceSegments).
+
+    Balancing: tiles sorted by death chunk are dealt round-robin, so every
+    device holds a matched mix of short- and long-lived tiles and the
+    per-chunk live counts stay within one tile of each other — the
+    device-parallel analog of the single-device compaction win."""
+    chunk = plan.chunk_steps
+    n_chunks = -(-nt // chunk)
+    last = nt - (n_chunks - 1) * chunk
+    lengths = [chunk] * (n_chunks - 1) + [last]
+    # suffix-OR liveness (see build_segments): monotone by construction, so
+    # per-device segment tile sets are nested
+    live = np.flip(np.logical_or.accumulate(
+        np.flip(plan.chunk_live, 0), 0), 0)     # (n_chunks_measured, T)
+    T = live.shape[1]
+    tb = cfg.tiles_per_block
+
+    # death chunk per tile (-1 = never deposits)
+    any_live = live.any(axis=0)
+    death = np.where(any_live, live.shape[0] - 1 -
+                     np.argmax(live[::-1], axis=0), -1)
+    order = np.argsort(-death, kind="stable")   # long-lived first
+    dev_tiles = [np.sort(order[d::n_dev]) for d in range(n_dev)]
+
+    # per-device live tiles per chunk (in each device's local tile list)
+    def live_at(c):
+        return [np.nonzero(live[c][dt])[0] if c < live.shape[0]
+                else np.arange(len(dt)) for dt in dev_tiles]
+
+    def pad_counts(counts):
+        m = max(max(counts), 1)
+        return -(-m // tb) * tb
+
+    seg_bounds = [0]
+    cur = pad_counts([len(x) for x in live_at(0)])
+    for c in range(1, n_chunks):
+        width = pad_counts([len(x) for x in live_at(c)])
+        if width < shrink * cur:
+            seg_bounds.append(c)
+            cur = width
+    seg_bounds.append(n_chunks)
+
+    seg_lengths, seg_tiles, seg_valid = [], [], []
+    prev_locals = None                           # per-device local tile ids
+    for si in range(len(seg_bounds) - 1):
+        c0, c1 = seg_bounds[si], seg_bounds[si + 1]
+        locs = live_at(c0)                       # device-local indices
+        width = pad_counts([len(x) for x in locs])
+        tiles_s = np.zeros((n_dev, width), np.int64)
+        valid_s = np.zeros((n_dev, width), bool)
+        for d in range(n_dev):
+            t = locs[d]
+            if len(t) == 0:
+                # a device with no remaining live tiles still executes the
+                # segment (shard_map: one program) — give it a masked tile
+                # that is guaranteed to exist in its previous segment
+                t = (prev_locals[d][:1] if prev_locals is not None
+                     and len(prev_locals[d]) else np.zeros(1, np.int64))
+                tiles_s[d, :] = t[0]
+            else:
+                tiles_s[d, :len(t)] = t
+                tiles_s[d, len(t):] = t[0]
+                valid_s[d, :len(t)] = True
+        if si == 0:
+            # report segment-0 ids in the GLOBAL tile space (caller builds
+            # the device-major initial state from them); local ids follow
+            glob = np.zeros_like(tiles_s)
+            for d in range(n_dev):
+                glob[d] = dev_tiles[d][tiles_s[d]]
+            prev_locals = [tiles_s[d][valid_s[d]] if valid_s[d].any()
+                           else tiles_s[d][:1] for d in range(n_dev)]
+            tiles_out = glob
+        else:
+            # ids relative to the PREVIOUS segment's (device-local) order,
+            # as the segmented gather expects
+            rel = np.zeros_like(tiles_s)
+            for d in range(n_dev):
+                pv = prev_locals[d]
+                pos = np.minimum(np.searchsorted(pv, tiles_s[d]),
+                                 len(pv) - 1)
+                assert (pv[pos] == tiles_s[d]).all(), \
+                    "segment tiles must be a subset of the previous segment"
+                rel[d] = pos
+            prev_locals = [tiles_s[d][valid_s[d]] if valid_s[d].any()
+                           else tiles_s[d][:1] for d in range(n_dev)]
+            tiles_out = rel
+        seg_lengths.append(tuple(lengths[c0:c1]))
+        seg_tiles.append(tiles_out)
+        seg_valid.append(valid_s)
+
+    return DeviceSegments(chunk_lengths=tuple(seg_lengths),
+                          tiles=tuple(seg_tiles), valid=tuple(seg_valid))
 
 
 def plan_path(cache_dir: str, fingerprint: str) -> str:

@@ -95,6 +95,99 @@ def make_sharded_trace_fn(cfg: Config, mesh: Mesh, rays_per_tile: int,
     return jax.jit(sharded)
 
 
+def make_sharded_segmented_trace_fn(cfg: Config, mesh: Mesh,
+                                    rays_per_tile: int, dev_segments,
+                                    backend: str | None = None):
+    """Multi-device trace with per-device static tile compaction — the
+    device-parallel form of ``raytracer.make_segmented_trace_fn``.
+
+    ``dev_segments`` is a ``tileplan.DeviceSegments``: every device runs the
+    same segment structure (same shapes), but its own tile ids — those ride
+    in as *sharded arguments* (one (1, T_s) row per device inside
+    shard_map), so one traced program serves all devices.  Deposition grids
+    and the overflow counter are psum-reduced over ICI.
+
+    Returns ``fn(field4, state0) -> (edep, state, oflow)``; ``state0`` must
+    be ordered device-major per ``dev_segments.tiles[0]`` (see
+    ``device_major_state``)."""
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    from ..models import raytracer as _rt
+    from ..ops.pallas_deposit import finalize_edep
+
+    rpt = rays_per_tile
+    if backend is None:
+        backend = _rt.resolve_deposit_backend(cfg)
+    (make_chunk_body, shape3, pallas, chunk, last_chunk,
+     n_chunks) = _rt._make_chunk_machinery(cfg, rpt, backend)
+    assert sum(len(c) for c in dev_segments.chunk_lengths) == n_chunks
+
+    n_seg = len(dev_segments.chunk_lengths)
+    # stacked per-device gather/valid arrays, sharded on the device axis
+    pos_args = [_jnp.asarray(dev_segments.tiles[si]) for si in range(1, n_seg)]
+    val_args = [_jnp.asarray(np.repeat(dev_segments.valid[si], rpt, axis=1))
+                for si in range(1, n_seg)]
+    valid0 = _jnp.asarray(np.repeat(dev_segments.valid[0], rpt, axis=1))
+    widths = [t.shape[1] for t in dev_segments.tiles]
+
+    def local_trace(field4, state0, valid0_l, *gathers):
+        compute_dtype = state0.uray.dtype
+        master_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype))
+        master = jnp.zeros(shape3, master_dtype)
+        chunk_body = make_chunk_body(field4, compute_dtype)
+        # mask rays on dup-padded segment-0 tiles (balancing padding)
+        state = _dc.replace(state0, alive=state0.alive & valid0_l[0])
+        oflow = jnp.int32(0)
+        for si in range(n_seg):
+            if si > 0:
+                pos = gathers[si - 1][0]          # (1, T_s) local shard
+                val = gathers[si - 1][1][0]
+                t_prev = widths[si - 1]
+
+                def take_tiles(a, t_prev=t_prev, pos=pos):
+                    return a.reshape(t_prev, rpt)[pos[0]].reshape(-1)
+
+                state = jax.tree_util.tree_map(take_tiles, state)
+                state = _dc.replace(state, alive=state.alive & val)
+            steps = jnp.asarray(dev_segments.chunk_lengths[si], jnp.int32)
+            (state, master, oflow), _ = jax.lax.scan(
+                chunk_body, (state, master, oflow), steps)
+        if pallas:
+            master = finalize_edep(master, cfg.ny, cfg.nz)
+        return (jax.lax.psum(master, AXIS), state,
+                jax.lax.psum(oflow, AXIS))
+
+    gather_specs = tuple((P(AXIS), P(AXIS)) for _ in range(n_seg - 1))
+    sharded = jax.shard_map(
+        local_trace, mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS)) + gather_specs,
+        out_specs=(P(), P(AXIS), P()),
+        check_vma=False)
+    fn = jax.jit(sharded)
+
+    def run(field4, state0):
+        gathers = tuple((pos_args[i], val_args[i])
+                        for i in range(n_seg - 1))
+        return fn(field4, state0, valid0, *gathers)
+
+    return run
+
+
+def device_major_state(state0: RayState, rays_per_tile: int,
+                       dev_segments) -> RayState:
+    """Order ``state0`` device-major per ``dev_segments.tiles[0]`` (tile ids
+    in the space the plan was measured on, dup-padded per device) — the
+    initial-state layout ``make_sharded_segmented_trace_fn`` expects."""
+    from ..models.raytracer import select_rays
+
+    rpt = rays_per_tile
+    tiles0 = np.asarray(dev_segments.tiles[0]).reshape(-1)    # (D*T_0,)
+    slots = (tiles0[:, None] * rpt + np.arange(rpt)[None, :]).reshape(-1)
+    return select_rays(state0, slots)
+
+
 def run_sharded(ctx: TraceContext, mesh: Mesh | None = None,
                 backend: str | None = None):
     """Convenience entry: pad, trace, return (edep np.f64, state)."""

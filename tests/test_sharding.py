@@ -98,3 +98,52 @@ def test_sharded_pallas_matches_single_device(profiles):
     assert int(of2) == 0
     np.testing.assert_allclose(np.asarray(edep2), np.asarray(edep1),
                                rtol=1e-6, atol=1e-6 * float(np.asarray(edep1).max()))
+
+
+def test_sharded_segmented_matches_single_device(profiles):
+    """Per-device-balanced segmented trace (tileplan.build_device_segments +
+    sharding.make_sharded_segmented_trace_fn): the multi-device form of
+    static mid-trace compaction.  Must reproduce the plain sharded trace's
+    deposition exactly in float64."""
+    from cbet_raytracing_3d_tpu.models import tileplan as tp
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 dtype="float64", tiles_per_block=1, chunk_steps=10)
+    ctx = rt.prepare(cfg, profiles)
+    rpt = ctx.layout.rays_per_tile
+    state0 = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
+                         rpt * cfg.tiles_per_block)
+
+    single = jax.jit(rt.make_trace_fn(cfg, rpt))
+    edep1, _, of1 = single(ctx.field4, state0)
+    assert int(of1) == 0
+
+    plan = tp.measure_plan(cfg, ctx, state0)
+    for ndev in (1, 2, 4):
+        dseg = tp.build_device_segments(plan, cfg, cfg.nt, ndev)
+        assert len(dseg.chunk_lengths) > 1, "scene produced no compaction"
+        mesh = sh.make_mesh(jax.devices()[:ndev])
+        fn = sh.make_sharded_segmented_trace_fn(cfg, mesh, rpt, dseg)
+        st0 = sh.device_major_state(state0, rpt, dseg)
+        edep, state, oflow = fn(ctx.field4, st0)
+        assert int(oflow) == 0
+        np.testing.assert_allclose(np.asarray(edep), np.asarray(edep1),
+                                   rtol=1e-12, atol=0)
+
+
+def test_device_segments_balanced(profiles):
+    """The round-robin-by-lifetime deal keeps per-device live-tile counts
+    within one tile of each other in every segment."""
+    from cbet_raytracing_3d_tpu.models import tileplan as tp
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 dtype="float64", tiles_per_block=1, chunk_steps=10)
+    ctx = rt.prepare(cfg, profiles)
+    rpt = ctx.layout.rays_per_tile
+    state0 = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
+                         rpt * cfg.tiles_per_block)
+    plan = tp.measure_plan(cfg, ctx, state0)
+    dseg = tp.build_device_segments(plan, cfg, cfg.nt, 4)
+    for valid in dseg.valid:
+        counts = valid.sum(axis=1)
+        assert counts.max() - counts.min() <= 1, counts

@@ -58,21 +58,24 @@ def main() -> int:
         rt.select_rays(ctx.state0, ctx.live_slots),
         n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
     ctx = dataclasses.replace(ctx, field4=jax.numpy.asarray(ctx.field4))
+    # statically compacted (segmented) trace, single- or multi-device; the
+    # tile plan is measured once per config+scene and disk-cached
+    from cbet_raytracing_3d_tpu.models import tileplan as tp
+    t_init_pre_plan = time.perf_counter() - t_init0
+    plan = tp.get_or_measure_plan(cfg, ctx, state0, ".cbet_cache")
+    t_plan = time.perf_counter() - t_init0 - t_init_pre_plan
     if n_dev == 1:
-        # single chip: the statically compacted (segmented) trace; the tile
-        # plan is measured once per config+scene and disk-cached
-        import jax.numpy as jnp
-
-        from cbet_raytracing_3d_tpu.models import tileplan as tp
-        t_init_pre_plan = time.perf_counter() - t_init0
-        plan = tp.get_or_measure_plan(cfg, ctx, state0, ".cbet_cache")
-        t_plan = time.perf_counter() - t_init0 - t_init_pre_plan
         segments = tp.build_segments(plan, cfg, cfg.nt)
         fn = jax.jit(rt.make_segmented_trace_fn(
             cfg, ctx.layout.rays_per_tile, segments))
     else:
-        t_plan = 0.0
-        fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile)
+        # per-device-balanced compaction (tileplan.build_device_segments)
+        dseg = tp.build_device_segments(plan, cfg, cfg.nt, n_dev)
+        fn = sh.make_sharded_segmented_trace_fn(
+            cfg, mesh, ctx.layout.rays_per_tile, dseg)
+        # reorder the SAME state the plan was measured on device-major
+        state0 = sh.device_major_state(state0, ctx.layout.rays_per_tile,
+                                       dseg)
     t_init = time.perf_counter() - t_init0 - t_plan
 
     # compile + first run (axon caveat: block_until_ready is a no-op on the

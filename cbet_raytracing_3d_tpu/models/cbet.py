@@ -165,40 +165,43 @@ def _node_rhat(cfg: Config, s: int = 1) -> np.ndarray:
                      (gz / r).reshape(-1)])
 
 
+def _interp_matrix(n_full: int, nh: int, s: int) -> np.ndarray:
+    """(n_full, nh) linear-interpolation matrix from coarse nodes (full
+    indices 0, s, 2s, ...), clamped at the upper edge.  Two nonzeros per
+    row, used as a dense MXU matmul operand."""
+    t = np.arange(n_full) / s
+    lo = np.minimum(np.floor(t).astype(int), nh - 1)
+    hi = np.minimum(lo + 1, nh - 1)
+    w = t - lo
+    m = np.zeros((n_full, nh), np.float32)
+    m[np.arange(n_full), lo] += 1.0 - w
+    m[np.arange(n_full), hi] += w
+    return m
+
+
 def make_gain_upsampler(cfg: Config):
     """Jitted trilinear upsample of a coarse (B, Ph) gain field to the full
     (B, P) node grid — one call per fixed-point iteration when
     ``cbet_grid_downsample > 1`` (the per-step gain lookup stays
-    full-resolution; see make_cbet_trace_fn).  Separable per-axis linear
-    interpolation from coarse nodes (full indices 0, s, 2s, ...), clamped at
-    the upper edge."""
+    full-resolution; see make_cbet_trace_fn).
+
+    Three small dense matmuls (separable per-axis interpolation matrices on
+    the MXU).  Gather- and repeat-free: ``jnp.take`` along small axes was
+    measured at ~10 s/axis on a v5e (duplicate-heavy gathers) and
+    ``jnp.repeat`` at ~11 s total; the einsum form is milliseconds."""
     s = cfg.cbet_grid_downsample
     hx, hy, hz = cfg.cbet_grid_shape
     nb = cfg.nbeams
-
-    def axis_interp(a, n_full: int, nh: int, axis: int):
-        # gather-free: lo/hi come from uniform repeats (broadcast+reshape on
-        # TPU) of the coarse array and its one-shifted copy — jnp.take along
-        # a small axis was measured at ~10 s/axis on a v5e (gathers with
-        # duplicate-heavy indices), vs milliseconds for this form
-        a_hi_src = jnp.concatenate(
-            [jax.lax.slice_in_dim(a, 1, nh, axis=axis),
-             jax.lax.slice_in_dim(a, nh - 1, nh, axis=axis)], axis=axis)
-        a_lo = jnp.repeat(a, s, axis=axis)
-        a_hi = jnp.repeat(a_hi_src, s, axis=axis)
-        w = jnp.tile(jnp.arange(s, dtype=a.dtype) / s, nh)
-        shape = [1] * a.ndim
-        shape[axis] = nh * s
-        w = w.reshape(shape)
-        out = a_lo * (1 - w) + a_hi * w
-        return jax.lax.slice_in_dim(out, 0, n_full, axis=axis)
+    wx = jnp.asarray(_interp_matrix(cfg.nx, hx, s))
+    wy = jnp.asarray(_interp_matrix(cfg.ny, hy, s))
+    wz = jnp.asarray(_interp_matrix(cfg.nz, hz, s))
 
     @jax.jit
     def upsample(gain_h):                      # (B, Ph)
         g = gain_h.reshape(nb, hx, hy, hz)
-        g = axis_interp(g, cfg.nx, hx, 1)
-        g = axis_interp(g, cfg.ny, hy, 2)
-        g = axis_interp(g, cfg.nz, hz, 3)
+        g = jnp.einsum("bxyz,Zz->bxyZ", g, wz)
+        g = jnp.einsum("bxyZ,Yy->bxYZ", g, wy)
+        g = jnp.einsum("bxYZ,Xx->bXYZ", g, wx)
         return g.reshape(nb, cfg.nx * cfg.ny * cfg.nz)
 
     return upsample

@@ -147,3 +147,30 @@ def test_device_segments_balanced(profiles):
     for valid in dseg.valid:
         counts = valid.sum(axis=1)
         assert counts.max() - counts.min() <= 1, counts
+
+
+def test_sharded_segmented_pallas_backend(profiles):
+    """Sharded segmented trace through the Pallas (interpret) deposit
+    kernel: per-device compaction must keep shards tile-aligned for the
+    kernel contract, and match the plain kernel trace."""
+    from cbet_raytracing_3d_tpu.models import tileplan as tp
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 dtype="float32", tiles_per_block=1, chunk_steps=10)
+    ctx = rt.prepare(cfg, profiles)
+    rpt = ctx.layout.rays_per_tile
+    state0 = sh.pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
+                         rpt * cfg.tiles_per_block)
+    single = jax.jit(rt.make_trace_fn(cfg, rpt, backend="pallas_interpret"))
+    edep1, _, of1 = single(ctx.field4, state0)
+    assert int(of1) == 0
+    plan = tp.measure_plan(cfg, ctx, state0)
+    dseg = tp.build_device_segments(plan, cfg, cfg.nt, 2)
+    mesh = sh.make_mesh(jax.devices()[:2])
+    fn = sh.make_sharded_segmented_trace_fn(cfg, mesh, rpt, dseg,
+                                            backend="pallas_interpret")
+    edep, _, oflow = fn(ctx.field4, sh.device_major_state(state0, rpt, dseg))
+    assert int(oflow) == 0
+    e1, e2 = np.asarray(edep1, np.float64), np.asarray(edep, np.float64)
+    rel = np.linalg.norm(e2 - e1) / np.linalg.norm(e1)
+    assert rel < 1e-6, rel

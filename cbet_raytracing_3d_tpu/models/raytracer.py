@@ -673,7 +673,8 @@ def make_trace_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
 
 
 def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
-                            backend: str | None = None):
+                            backend: str | None = None,
+                            track_final_state: bool = False):
     """Full-trace function with static mid-trace tile compaction
     (models/tileplan.py): between segments, the ray state is gathered down
     to the tiles still depositing — a STATIC gather (the per-chunk live-tile
@@ -685,7 +686,14 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
     final state covers the LAST segment's tiles; use
     ``segment_slot_origins(segments, rays_per_tile)`` to map its slots back
     to state0 slots (e.g. for trace_stats).  Single-device only — shards
-    would need per-device-balanced plans (see parallel/sharding.py)."""
+    need per-device-balanced plans (parallel/sharding.py).
+
+    ``track_final_state=True`` appends ``(uray_full, alive_full)`` —
+    full-length (state0.n,) arrays holding every slot's *final* energy and
+    liveness, assembled by writing each segment's values back at its slot
+    origins before compaction drops them (static scatters at segment
+    boundaries only).  This restores the complete termination/energy
+    accounting (trace_stats) that plain compaction would lose."""
     if backend is None:
         backend = resolve_deposit_backend(cfg)
     (make_chunk_body, shape3, pallas, chunk, last_chunk,
@@ -708,14 +716,36 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
         gathers.append((len(prev.tiles), jnp.asarray(pos),
                         jnp.asarray(valid)))
 
+    n0 = len(segments[0].tiles) * rays_per_tile
+    if track_final_state:
+        # per-segment slot origins in segment-0 space; pad (invalid) rows
+        # write to index n0 and are dropped by the scatter
+        origins = []
+        for seg in segments:
+            o = np.where(seg.valid, seg.tiles, -1)
+            slots = o[:, None] * rays_per_tile + np.arange(rays_per_tile)
+            slots[o < 0, :] = n0
+            origins.append(jnp.asarray(slots.reshape(-1)))
+
     def trace(field4, state0: RayState):
         compute_dtype = state0.uray.dtype
         master_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype))
         master = jnp.zeros(shape3, master_dtype)
         chunk_body = make_chunk_body(field4, compute_dtype)
         state, oflow = state0, jnp.int32(0)
+        if track_final_state:
+            uray_full, alive_full = state0.uray, state0.alive
+
+        def write_back(uray_full, alive_full, si):
+            ix = origins[si]
+            return (uray_full.at[ix].set(state.uray, mode="drop"),
+                    alive_full.at[ix].set(state.alive, mode="drop"))
+
         for si, seg in enumerate(segments):
             if si > 0:
+                if track_final_state:
+                    uray_full, alive_full = write_back(
+                        uray_full, alive_full, si - 1)
                 t_prev, pos, valid = gathers[si - 1]
 
                 def take_tiles(a, t_prev=t_prev, pos=pos):
@@ -728,6 +758,10 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
                 chunk_body, (state, master, oflow), steps)
         if pallas:
             master = finalize_edep(master, cfg.ny, cfg.nz)
+        if track_final_state:
+            uray_full, alive_full = write_back(
+                uray_full, alive_full, len(segments) - 1)
+            return master, state, oflow, (uray_full, alive_full)
         return master, state, oflow
 
     return trace

@@ -129,10 +129,28 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         import dataclasses as _dc
         import jax.numpy as _jnp
         ctx = _dc.replace(ctx, field4=_jnp.asarray(ctx.field4))
-        fn = sh.make_sharded_trace_fn(cfg, mesh, ctx.layout.rays_per_tile, backend)
+        # single device + cache: the statically compacted (segmented) trace
+        # with final-state write-back, so the termination/energy accounting
+        # stays complete (the tile plan is measured once and disk-cached)
+        segmented = n_dev == 1 and cache_dir is not None
+        if segmented:
+            from .models import tileplan as tp
+            plan = tp.get_or_measure_plan(cfg, ctx, state0, cache_dir)
+            segments = tp.build_segments(plan, cfg, cfg.nt)
+            fn = jax.jit(rt.make_segmented_trace_fn(
+                cfg, ctx.layout.rays_per_tile, segments, backend,
+                track_final_state=True))
+        else:
+            fn = sh.make_sharded_trace_fn(cfg, mesh,
+                                          ctx.layout.rays_per_tile, backend)
 
     with timers.phase("Tracing"), _profiler():
-        edep_dev, state, oflow = fn(ctx.field4, state0)
+        if segmented:
+            edep_dev, seg_state, oflow, (uray_f, alive_f) = fn(
+                ctx.field4, state0)
+            state = _dc.replace(state0, uray=uray_f, alive=alive_f)
+        else:
+            edep_dev, state, oflow = fn(ctx.field4, state0)
         # fence: dispatch is async, and on the tunneled backend
         # block_until_ready is a no-op — a tiny device_get attributes the
         # device time to this phase like the reference's

@@ -192,3 +192,20 @@ def test_prepare_cache_roundtrip(tmp_path):
     cfg2 = cfg.replace(nx=24)
     other = rt.prepare(cfg2, host_state=True, cache_dir=cache)
     assert other.field4.shape != loaded.field4.shape
+
+
+def test_run_segmented_matches_plain(tmp_path):
+    """run() with a cache_dir takes the compacted (segmented) trace path
+    with final-state write-back — deposition AND the full termination/
+    energy accounting must match the plain path exactly (float64)."""
+    cfg = Config(**SMALL)
+    plain = run(cfg, verbose=False)
+    seg = run(cfg, verbose=False, cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_allclose(seg.edep, plain.edep, rtol=1e-12, atol=0)
+    for key in ("rays_launched", "rays_terminated", "rays_alive_at_end"):
+        assert seg.stats[key] == plain.stats[key], key
+    np.testing.assert_allclose(seg.stats["energy_absorbed"],
+                               plain.stats["energy_absorbed"], rtol=1e-12)
+    # second call hits both disk caches (prepare + tile plan)
+    seg2 = run(cfg, verbose=False, cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_allclose(seg2.edep, plain.edep, rtol=1e-12, atol=0)

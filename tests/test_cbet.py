@@ -258,3 +258,23 @@ def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
     assert rel < 2e-3, rel
     rel_e = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
     assert rel_e < 2e-3, rel_e
+
+
+def test_cbet_sharded_downsampled(two_beam_cfg, profiles):
+    """Coarse CBET grid (cbet_grid_downsample=2) through a multi-device
+    solve: the beam-offset scatter intensity path must deposit on the
+    coarse grid and reproduce the single-device coarse fixed point."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = two_beam_cfg.replace(cbet_max_iters=3, dtype="float64",
+                               cbet_grid_downsample=2)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="scatter")
+    assert res1.intensity.shape == (2, 20, 20, 20)
+    mesh = make_mesh(jax.devices()[:4])
+    res4 = cbet_solve(cfg, ctx, mesh=mesh, backend="scatter")
+    np.testing.assert_allclose(res4.edep, res1.edep, rtol=1e-10,
+                               atol=1e-10 * res1.edep.max())
+    np.testing.assert_allclose(res4.intensity, res1.intensity, rtol=1e-10,
+                               atol=1e-10 * max(res1.intensity.max(), 1))

@@ -107,10 +107,10 @@ def make_gain_fn(cfg: Config, ctx: rt.TraceContext,
     Config.cbet_grid_downsample) unpadded CBET node grid.
 
     The reduction must never materialize its (B, B, P) intermediate (14 GB
-    at OMEGA scale) — every pure-XLA formulation tried (scan over partner
-    beams, broadcast+reduce, P-blocked scan) runs 12-31 s/call HBM-bound on
-    a v5e (measured); the Pallas kernel (ops/pallas_gain.py) keeps each
-    P-block in VMEM and is compute-bound.  ``backend``: "pallas" (TPU),
+    at OMEGA scale); the Pallas kernel (ops/pallas_gain.py) guarantees
+    VMEM-blocked evaluation — 46 ms/call at OMEGA scale (measured
+    scalar-fenced; see the kernel docstring for the transfer-artifact
+    caveat on earlier numbers).  ``backend``: "pallas" (TPU),
     "pallas_interpret" (kernel on CPU, tests), "xla" (plain reduce — the
     reference semantics oracle-checkable on CPU); None resolves by
     platform."""

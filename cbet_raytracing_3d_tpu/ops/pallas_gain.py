@@ -7,13 +7,16 @@ Computes, for every beam b and grid node p,
     R(eta) = iaw^2 eta / ((eta^2 - 1)^2 + iaw^2 eta^2)
 
 — the ion-acoustic coupling of models/cbet.py (constants contract
-def.cuh:99-114).  The (B, B, P) intermediate must never exist: at OMEGA
-scale it is 14 GB, and every XLA formulation tried (scan over partner
-beams carrying g, one broadcast+reduce, scan over P-blocks) materializes
-enough of it to run at 12-31 s/call HBM-bound on a v5e (measured).  This
-kernel keeps each P-block's (B, L) working set in VMEM and loops partner
-beams unrolled, so the whole reduction is VPU-compute-bound: ~60 ms/call
-at OMEGA scale — ~200x over the best XLA form.
+def.cuh:99-114).  The (B, B, P) intermediate must never exist (14 GB at
+OMEGA scale).  This kernel keeps each P-block's (B, L) working set in
+VMEM and loops partner beams unrolled; measured 46 ms/call at OMEGA
+scale (scalar-fenced — fetching the 240 MB result through the tunneled
+backend costs ~11 s and initially masked the real cost), vs 53 ms for
+the best XLA broadcast+reduce form under the same fence.  The kernel is
+kept as the production path: its VMEM residency is guaranteed by
+construction, where the XLA form's fusion behavior depends on the
+consumer context (a whole-array materialization was observed in at
+least one formulation).
 
 Layout: intensity (B, P) and the output (B, P) are blocked along P
 (lane dim); rhat and the gain prefactor ride together as one (4, P)

@@ -481,19 +481,29 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     rpt = ctx.layout.rays_per_tile
     from ..parallel.sharding import AXIS, pad_rays, put_state
     n_dev = 1 if mesh is None else int(_math.prod(mesh.devices.shape))
-    # trace only launched tiles (~24% fewer slots on the OMEGA scene),
-    # per-beam block-padded so the grouped intensity kernel keeps uniform
-    # beam groups
-    slots = live_tile_slots(cfg, ctx)
-    state0 = put_state(pad_rays(rt.select_rays(ctx.state0, slots),
-                                n_dev * rpt * cfg.tiles_per_block))
-    tpg = (len(slots) // rpt) // cfg.nbeams
+    if ctx.compact:
+        # prepare_device contexts are born in exactly the per-beam
+        # block-padded live-tile layout this solve needs — no reselection
+        # (mesh solves just pad the slot axis to the device multiple)
+        state0 = pad_rays(ctx.state0, n_dev * rpt * cfg.tiles_per_block)
+        bid_np = np.maximum(np.asarray(ctx.beam_id), 0).astype(np.int32)
+        bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
+        tpg = (ctx.state0.n // rpt) // cfg.nbeams
+    else:
+        # trace only launched tiles (~24% fewer slots on the OMEGA scene),
+        # per-beam block-padded so the grouped intensity kernel keeps
+        # uniform beam groups
+        slots = live_tile_slots(cfg, ctx)
+        state0 = put_state(pad_rays(rt.select_rays(ctx.state0, slots),
+                                    n_dev * rpt * cfg.tiles_per_block))
+        tpg = (len(slots) // rpt) // cfg.nbeams
+        # per-slot beam ids (padding slots get 0 but are permanently dead)
+        bid_np = np.maximum(np.asarray(ctx.beam_id)[slots],
+                            0).astype(np.int32)
+        bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
     trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
                                      intensity_scatter=n_dev > 1,
                                      tiles_per_group=tpg)
-    # per-slot beam ids (padding slots get 0 but are permanently dead)
-    bid_np = np.maximum(np.asarray(ctx.beam_id)[slots], 0).astype(np.int32)
-    bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
     local = trace_maker()
     if n_dev > 1:
         from jax.sharding import PartitionSpec as Pspec

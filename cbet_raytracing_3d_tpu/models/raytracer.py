@@ -176,6 +176,10 @@ class TraceContext:
     beam_id: np.ndarray          # (n_slots,) int32 beam of each slot (-1 padding)
     live_slots: np.ndarray       # slots of tiles with >=1 launched ray (~83%);
                                  # pupil-dead/padding tiles never contribute
+    compact: bool = False        # True: state0 is ALREADY the live-tile
+                                 # compacted, per-beam block-padded traced
+                                 # state (prepare_device) — no further
+                                 # selection/padding needed
 
 
 PREP_CACHE_VERSION = 1
@@ -350,6 +354,199 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
     return TraceContext(cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields,
                         rays=rays, layout=layout, field4=field4,
                         state0=state0, beam_id=beam_id, live_slots=live_slots)
+
+
+def make_device_init(cfg: Config, layout: TileLayout):
+    """Jitted on-device ray initialization — the analog of the reference's
+    GPU-side ``init()`` (launch_ray_XZ.cu:65-115; our host-NumPy prepare is
+    the deviation, kept for exact-f64 parity tests).
+
+    Returns ``fn(field4, wsq_flat, beam_tab, pow_r, tile_ids, tile_valid)
+    -> RayState`` where ``tile_ids`` (T,) int32 are global tile ids in
+    traced order (live tiles, block-padded; ``tile_valid`` False on pads)
+    and the output state covers ``T * rays_per_tile`` slots.  Only KB-scale
+    arrays cross the host->device link (the big per-ray state is born on
+    device), which cuts Init at config-4 scale from minutes of single-core
+    NumPy + GB-scale uploads to one jit call.
+
+    ``beam_tab`` is (nbeams, 7) float: [c1, s1, c2, s2, bnx, bny, bnz]
+    (rotation trig + unit beam normal, precomputed on host — tiny)."""
+    rpz = cfg.rays_per_zone
+    zones = cfg.zones_spanned
+    tz = cfg.tile_zones
+    side = tz * rpz
+    rpt = layout.rays_per_tile
+    ntiles_axis = -(-zones // tz)
+    tpb_real = ntiles_axis * ntiles_axis
+    span = cfg.beam_max_x - cfg.beam_min_x
+    sx = span / (cfg.nrays_x - 1)
+    sy = span / (cfg.nrays_y - 1)
+    pstep = cfg.pow_table_max / (cfg.pow_table_len - 1)
+    d = (cfg.dx, cfg.dy, cfg.dz)
+    origin = (cfg.xmin, cfg.ymin, cfg.zmin)
+    nvec = (cfg.nx, cfg.ny, cfg.nz)
+    tol = cfg.cell_tol
+
+    from ..ops.interp import uniform_interp
+
+    def _initial_cell(t, n):
+        c0 = jnp.ceil(t - tol).astype(jnp.int32)
+        out = jnp.zeros_like(c0)
+        for cand in (c0 + 1, c0):     # later write (c0) wins: first match
+            ok = ((cand >= 0) & (cand <= n - 1)
+                  & (jnp.abs(cand.astype(t.dtype) - t) <= tol))
+            out = jnp.where(ok, cand, out)
+        return out
+
+    def init(field4, wsq_flat, beam_tab, pow_r, tile_ids, tile_valid):
+        dtype = field4.dtype
+        T = tile_ids.shape[0]
+        s = jnp.arange(T * rpt, dtype=jnp.int32)
+        ti = s // rpt                                # index into tile_ids
+        rit = s % rpt
+        gtile = jnp.take(tile_ids, ti)
+        beam = gtile // layout.tiles_per_beam
+        tile = gtile % layout.tiles_per_beam
+        ty, tx = tile // ntiles_axis, tile % ntiles_axis
+        ly, lx = rit // side, rit % side
+        zy = ty * tz + ly // rpz
+        zx = tx * tz + lx // rpz
+        ry2, rx2 = ly % rpz, lx % rpz
+        in_lat = (tile < tpb_real) & (zx < zones) & (zy < zones)
+        rx = zx * rpz + rx2
+        ry = zy * rpz + ry2
+
+        # launch lattice in the focal plane (launch_ray_XZ.cu:76-97);
+        # association matches the host prepare term-for-term
+        x0 = rx.astype(dtype) * sx + cfg.beam_min_x + cfg.dx / 2
+        y0 = ry.astype(dtype) * sy + cfg.beam_min_x + cfg.dy / 2
+        ref = jnp.sqrt(x0 * x0 + y0 * y0)
+        z0 = jnp.asarray(cfg.focal_length - cfg.dz / 2, dtype)
+        uray = cfg.uray_mult * uniform_interp(pow_r, 0.0, pstep, ref)
+        mask = in_lat & (ref <= cfg.beam_max_x) & jnp.take(tile_valid, ti)
+        if cfg.parity == "reference":
+            kk = ((zy * zones + zx) * (rpz * rpz) + ry2 * rpz + rx2)
+            mask &= kk < cfg.traced_rays_per_beam
+
+        # per-beam Euler rotations (launch_ray_XZ.cu:99-111)
+        bt = jnp.take(beam_tab, beam, axis=0)        # (N, 7)
+        c1, s1, c2, s2 = bt[:, 0], bt[:, 1], bt[:, 2], bt[:, 3]
+        xa = x0 * c1 + z0 * s1
+        za = z0 * c1 - x0 * s1
+        xb = xa * c2 - y0 * s2
+        yb = y0 * c2 + xa * s2
+
+        # grid coordinates, initial cell, dispersion velocity
+        cell, frac, flat = [], [], None
+        pos = (xb, yb, za)
+        for ax in range(3):
+            t = (pos[ax] - origin[ax]) / d[ax]
+            c = _initial_cell(t, nvec[ax])
+            cell.append(c)
+            frac.append(t - c.astype(dtype))
+        flat = (cell[0] * cfg.ny + cell[1]) * cfg.nz + cell[2]
+        wsq = jnp.take(wsq_flat, flat)
+        w = jnp.sqrt(jnp.maximum(k.OMEGA ** 2 - wsq, 0.0)) / k.C_CMS
+        vel = tuple(
+            (-(k.C_CMS ** 2) * bt[:, 4 + ax] * (w / k.OMEGA))
+            * (cfg.dt / d[ax]) for ax in range(3))
+        rows = jnp.take(field4, flat, axis=0)
+        kick = tuple(rows[:, ax] for ax in range(3))
+
+        return RayState(
+            frac=tuple(frac), vel=vel, kick=kick,
+            uray=jnp.where(mask, uray, jnp.asarray(0, dtype)),
+            uray_init=jnp.where(mask, uray, jnp.asarray(1, dtype)),
+            cell=tuple(cell), alive=mask)
+
+    return jax.jit(init)
+
+
+def live_tile_ids(cfg: Config, layout: TileLayout) -> np.ndarray:
+    """Global ids of tiles with >=1 pupil-accepted ray, in traced order,
+    padded to a ``tiles_per_block`` multiple with dead tiles; returns
+    ``(tile_ids int32, tile_valid bool)``.  The pupil pattern is
+    beam-independent, so this is O(nrays) host work regardless of nbeams."""
+    from ..beams import ray_permutation
+
+    rpz, zones, tz = cfg.rays_per_zone, cfg.zones_spanned, cfg.tile_zones
+    ntiles_axis = -(-zones // tz)
+    span = cfg.beam_max_x - cfg.beam_min_x
+    kk = np.arange(cfg.nrays, dtype=np.int64)
+    raynum = ray_permutation(cfg, kk)
+    x0 = (raynum % cfg.nrays_x) * (span / (cfg.nrays_x - 1)) \
+        + cfg.beam_min_x + cfg.dx / 2
+    y0 = (raynum // cfg.nrays_x) * (span / (cfg.nrays_y - 1)) \
+        + cfg.beam_min_x + cfg.dy / 2
+    ok = np.sqrt(x0 * x0 + y0 * y0) <= cfg.beam_max_x
+    if cfg.parity == "reference":
+        ok &= kk < cfg.traced_rays_per_beam
+    zx = kk // (rpz * rpz) % zones
+    zy = kk // (rpz * rpz) // zones
+    tile = (zy // tz) * ntiles_axis + (zx // tz)
+    live_pattern = np.zeros(layout.tiles_per_beam, bool)
+    np.logical_or.at(live_pattern, tile, ok)
+    live = np.nonzero(live_pattern)[0]
+    dead = np.nonzero(~live_pattern)[0]
+    # pad PER BEAM to a tiles_per_block multiple (with that beam's own dead
+    # tiles): every beam then owns the same block-aligned tile count, which
+    # is exactly the uniform-group layout the CBET grouped intensity kernel
+    # requires (models/cbet.live_tile_slots contract)
+    pad = (-len(live)) % cfg.tiles_per_block
+    fill = dead[:pad] if len(dead) >= pad else np.repeat(
+        (dead[:1] if len(dead) else live[:1]), pad)
+    per_beam = np.concatenate([live, fill])
+    valid1 = np.zeros(len(per_beam), bool)
+    valid1[:len(live)] = True
+    ids = np.concatenate([
+        b * layout.tiles_per_beam + per_beam for b in range(cfg.nbeams)])
+    valid = np.tile(valid1, cfg.nbeams)
+    return ids.astype(np.int32), valid
+
+
+def prepare_device(cfg: Config, prof: RadialProfiles | None = None,
+                   beam_norm: np.ndarray | None = None) -> TraceContext:
+    """Device-side Init: like :func:`prepare`, but the per-ray state is
+    built ON the accelerator (make_device_init) and ``state0`` is already
+    the live-tile, block-padded, device-resident traced state —
+    ``live_slots`` spans all of it.  Host work is O(grid + nrays), not
+    O(nbeams * nrays): at BASELINE config 4 (64M rays) this replaces
+    minutes of single-core NumPy and GB-scale uploads."""
+    if prof is None:
+        prof = load_profiles(nr=cfg.nr)
+    if beam_norm is None:
+        beam_norm = load_beam_norms(nbeams=cfg.nbeams)
+    fields = build_fields(cfg, prof)
+    layout = build_tile_layout(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+
+    d = np.array([cfg.dx, cfg.dy, cfg.dz])
+    kick = fields.fgrad * cfg.dt / d
+    f4 = np.concatenate([kick.reshape(-1, 3),
+                         fields.absorb.reshape(-1, 1)], axis=1)
+    field4 = jnp.asarray(f4, dtype)
+
+    bn = beam_norm / np.linalg.norm(beam_norm, axis=1, keepdims=True)
+    theta1 = np.arccos(beam_norm[:, 2])
+    theta2 = np.arctan2(beam_norm[:, 1] * cfg.focal_length,
+                        cfg.focal_length * beam_norm[:, 0])
+    beam_tab = np.stack([np.cos(theta1), np.sin(theta1),
+                         np.cos(theta2), np.sin(theta2),
+                         bn[:, 0], bn[:, 1], bn[:, 2]], axis=1)
+
+    ids, valid = live_tile_ids(cfg, layout)
+    fn = make_device_init(cfg, layout)
+    state0 = fn(field4, jnp.asarray(fields.wsq_term.reshape(-1), dtype),
+                jnp.asarray(beam_tab, dtype),
+                jnp.asarray(power_table(cfg), dtype),
+                jnp.asarray(ids), jnp.asarray(valid))
+
+    beam_id = np.repeat(ids // layout.tiles_per_beam, layout.rays_per_tile)
+    beam_id = beam_id.astype(np.int32)
+    return TraceContext(
+        cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields, rays=None,
+        layout=layout, field4=field4, state0=state0, beam_id=beam_id,
+        live_slots=np.arange(state0.n, dtype=np.int64), compact=True)
 
 
 def select_rays(state: RayState, indices: np.ndarray) -> RayState:

@@ -12,12 +12,14 @@ cfg = Config(nx=200, ny=200, nz=200, rays_per_zone=15, tile_zones=2,
              deposit_box_x=24, deposit_box_y=24, deposit_box_z=24,
              deposit_batch_steps=1)
 t0 = time.perf_counter()
-ctx = rt.prepare(cfg)
+# on-device ray init (reference parity: launch_ray_XZ.cu:65-115 runs on
+# the GPU): host work is O(grid + nrays); the 64M-ray state is born on
+# the chip already live-tile compacted — replaces the 9-21 min
+# single-core NumPy prepare + GB-scale uploads of the first recorded run
+ctx = rt.prepare_device(cfg)
 rpt = ctx.layout.rays_per_tile
-s0 = pad_rays(rt.select_rays(ctx.state0, ctx.live_slots), rpt*cfg.tiles_per_block)
+s0 = ctx.state0
 jax.device_get(s0.uray[0])
-# free the full-slot state0 (3.8 GB at this scale): only the live-tile
-# padded copy is traced
 import dataclasses
 ctx = dataclasses.replace(ctx, state0=None)
 t_init = time.perf_counter() - t0

@@ -278,3 +278,20 @@ def test_cbet_sharded_downsampled(two_beam_cfg, profiles):
                                atol=1e-10 * res1.edep.max())
     np.testing.assert_allclose(res4.intensity, res1.intensity, rtol=1e-10,
                                atol=1e-10 * max(res1.intensity.max(), 1))
+
+
+def test_cbet_solve_on_device_init_context(two_beam_cfg, profiles):
+    """cbet_solve on a prepare_device (compact) context must reproduce the
+    host-prepare fixed point: the device-born state is already in the
+    per-beam block-padded layout the grouped intensity kernel needs."""
+    cfg = two_beam_cfg.replace(cbet_max_iters=3, dtype="float64")
+    ctx_h = rt.prepare(cfg, profiles)
+    ctx_d = rt.prepare_device(cfg, profiles)
+    res_h = cbet_solve(cfg, ctx_h, backend="scatter")
+    res_d = cbet_solve(cfg, ctx_d, backend="scatter")
+    assert res_d.iterations == res_h.iterations
+    np.testing.assert_allclose(res_d.edep, res_h.edep, rtol=1e-6,
+                               atol=1e-8 * res_h.edep.max())
+    np.testing.assert_allclose(
+        res_d.intensity, res_h.intensity, rtol=1e-6,
+        atol=1e-8 * max(res_h.intensity.max(), 1.0))

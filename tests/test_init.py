@@ -84,3 +84,55 @@ def test_initial_cell_matches_literal_scan():
                     want = xx
                     break
             assert row_c[ax] == want
+
+
+def test_device_init_matches_host_prepare(profiles):
+    """On-device ray init (raytracer.prepare_device — the analog of the
+    reference's GPU-side init(), launch_ray_XZ.cu:65-115) must reproduce
+    the host-NumPy prepare exactly in float64: same live slots, same state
+    values, same traced deposition."""
+    import jax
+    from cbet_raytracing_3d_tpu.models import raytracer as rt
+    from cbet_raytracing_3d_tpu.parallel import sharding as sh
+
+    cfg = Config(nbeams=3, rays_per_zone=2, nx=40, ny=40, nz=40,
+                 dtype="float64", tiles_per_block=2)
+    ctx_h = rt.prepare(cfg, profiles)
+    ctx_d = rt.prepare_device(cfg, profiles)
+
+    # align the two layouts: the device state pads PER BEAM (CBET grouped-
+    # kernel contract), the host selection pads globally — the valid-tile
+    # slots coincide in order
+    rpt = ctx_h.layout.rays_per_tile
+    _, tile_valid = rt.live_tile_ids(cfg, ctx_h.layout)
+    sel_d = np.repeat(tile_valid, rpt)
+    state_h = rt.select_rays(ctx_h.state0, ctx_h.live_slots)
+    state_d = rt.select_rays(ctx_d.state0, np.nonzero(sel_d)[0])
+    assert state_d.n == state_h.n
+    launched_h = np.asarray(state_h.alive)
+    launched_d = np.asarray(state_d.alive)
+    np.testing.assert_array_equal(launched_d, launched_h)
+    m = launched_h
+    for ax in range(3):
+        # cells must match exactly (integer); float state to ulp-level
+        # tolerance (XLA and NumPy associate a few expressions differently)
+        np.testing.assert_array_equal(
+            np.asarray(state_d.cell[ax])[m], np.asarray(state_h.cell[ax])[m])
+    for name in ("frac", "vel", "kick"):
+        for ax in range(3):
+            a_h = np.asarray(getattr(state_h, name)[ax])[m]
+            a_d = np.asarray(getattr(state_d, name)[ax])[m]
+            np.testing.assert_allclose(a_d, a_h, rtol=1e-10, atol=1e-13,
+                                       err_msg=f"{name}[{ax}]")
+    np.testing.assert_allclose(np.asarray(state_d.uray)[m],
+                               np.asarray(state_h.uray)[m], rtol=1e-12)
+
+    fn = jax.jit(rt.make_trace_fn(cfg, ctx_h.layout.rays_per_tile,
+                                  backend="scatter"))
+    e_h, _, _ = fn(ctx_h.field4, state_h)
+    e_d, _, _ = fn(ctx_d.field4, state_d)
+    # ulp-level launch-state differences propagate through 400 steps of
+    # chaotic-adjacent dynamics; 1e-8 is still 4 orders under the 1e-4 bar
+    np.testing.assert_allclose(np.asarray(e_d), np.asarray(e_h),
+                               rtol=1e-6, atol=1e-8 * float(
+                                   np.asarray(e_h).max()))

@@ -428,9 +428,11 @@ def make_device_init(cfg: Config, layout: TileLayout):
             kk = ((zy * zones + zx) * (rpz * rpz) + ry2 * rpz + rx2)
             mask &= kk < cfg.traced_rays_per_beam
 
-        # per-beam Euler rotations (launch_ray_XZ.cu:99-111)
-        bt = jnp.take(beam_tab, beam, axis=0)        # (N, 7)
-        c1, s1, c2, s2 = bt[:, 0], bt[:, 1], bt[:, 2], bt[:, 3]
+        # per-beam Euler rotations (launch_ray_XZ.cu:99-111); seven 1-D
+        # gathers — an (N, 7) row-take would lane-pad to (N, 128) inside
+        # the fusion (28 GB at config-4 scale, measured OOM)
+        bcol = [jnp.take(beam_tab[:, i], beam) for i in range(7)]
+        c1, s1, c2, s2 = bcol[0], bcol[1], bcol[2], bcol[3]
         xa = x0 * c1 + z0 * s1
         za = z0 * c1 - x0 * s1
         xb = xa * c2 - y0 * s2
@@ -448,10 +450,11 @@ def make_device_init(cfg: Config, layout: TileLayout):
         wsq = jnp.take(wsq_flat, flat)
         w = jnp.sqrt(jnp.maximum(k.OMEGA ** 2 - wsq, 0.0)) / k.C_CMS
         vel = tuple(
-            (-(k.C_CMS ** 2) * bt[:, 4 + ax] * (w / k.OMEGA))
+            (-(k.C_CMS ** 2) * bcol[4 + ax] * (w / k.OMEGA))
             * (cfg.dt / d[ax]) for ax in range(3))
-        rows = jnp.take(field4, flat, axis=0)
-        kick = tuple(rows[:, ax] for ax in range(3))
+        # three 1-D column gathers (same (N, small)-row padding hazard as
+        # the beam table above; this is one-time init, not the hot loop)
+        kick = tuple(jnp.take(field4[:, ax], flat) for ax in range(3))
 
         return RayState(
             frac=tuple(frac), vel=vel, kick=kick,

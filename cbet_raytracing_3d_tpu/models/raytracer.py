@@ -125,7 +125,10 @@ class TileLayout:
     slot_of: np.ndarray       # (nbeams, nrays) int64
 
 
-def build_tile_layout(cfg: Config) -> TileLayout:
+def build_tile_layout(cfg: Config, with_slots: bool = True) -> TileLayout:
+    """``with_slots=False`` skips the O(nbeams*nrays) ``slot_of`` map —
+    only the host prepare needs it (7.7 s at config-4 scale); the on-device
+    init path (prepare_device) uses just the scalar layout facts."""
     rpz = cfg.rays_per_zone
     zones = cfg.zones_spanned
     tz = cfg.tile_zones
@@ -137,6 +140,11 @@ def build_tile_layout(cfg: Config) -> TileLayout:
     # padding tiles are permanently dead (skipped by the kernel)
     tpb = ntiles_axis * ntiles_axis
     tiles_per_beam = -(-tpb // cfg.tiles_per_block) * cfg.tiles_per_block
+    n_slots = cfg.nbeams * tiles_per_beam * rays_per_tile
+    if not with_slots:
+        return TileLayout(rays_per_tile=rays_per_tile,
+                          tiles_per_beam=tiles_per_beam,
+                          n_slots=n_slots, slot_of=None)
 
     kk = np.arange(cfg.nrays, dtype=np.int64)
     b1, b2 = kk // (rpz * rpz), kk % (rpz * rpz)
@@ -520,7 +528,7 @@ def prepare_device(cfg: Config, prof: RadialProfiles | None = None,
     if beam_norm is None:
         beam_norm = load_beam_norms(nbeams=cfg.nbeams)
     fields = build_fields(cfg, prof)
-    layout = build_tile_layout(cfg)
+    layout = build_tile_layout(cfg, with_slots=False)
     dtype = jnp.dtype(cfg.dtype)
 
     d = np.array([cfg.dx, cfg.dy, cfg.dz])

@@ -58,6 +58,18 @@ def ray_permutation(cfg: Config, pre_raynum: np.ndarray) -> np.ndarray:
     return ry * cfg.nrays_x + rx
 
 
+def lattice_xy(cfg: Config, rx, ry):
+    """Focal-plane launch position from lattice coordinates
+    (launch_ray_XZ.cu:76-97) — THE single definition of the lattice
+    formula, including the reference's beam_min_x-for-y quirk.  Works on
+    NumPy or jnp arrays (used by the host init, the device init, and the
+    live-tile selection — keep them in sync through this helper)."""
+    span = cfg.beam_max_x - cfg.beam_min_x
+    x0 = rx * (span / (cfg.nrays_x - 1)) + cfg.beam_min_x + cfg.dx / 2
+    y0 = ry * (span / (cfg.nrays_y - 1)) + cfg.beam_min_x + cfg.dy / 2
+    return x0, y0
+
+
 @dataclasses.dataclass(frozen=True)
 class RayInit:
     """Initial per-ray launch state for all beams, ordered by (beam, thread id).
@@ -73,13 +85,11 @@ class RayInit:
 
 
 def init_rays(cfg: Config, beam_norm: np.ndarray, pow_r: np.ndarray) -> RayInit:
-    span = cfg.beam_max_x - cfg.beam_min_x
     k_idx = np.arange(cfg.nrays, dtype=np.int64)
     raynum = ray_permutation(cfg, k_idx)
 
     # Launch lattice in the focal plane (launch_ray_XZ.cu:76-97).
-    x0 = (raynum % cfg.nrays_x) * (span / (cfg.nrays_x - 1)) + cfg.beam_min_x + cfg.dx / 2
-    y0 = (raynum // cfg.nrays_x) * (span / (cfg.nrays_y - 1)) + cfg.beam_min_x + cfg.dy / 2
+    x0, y0 = lattice_xy(cfg, raynum % cfg.nrays_x, raynum // cfg.nrays_x)
     ref = np.sqrt(x0 * x0 + y0 * y0)
     z0 = np.full_like(x0, cfg.focal_length - cfg.dz / 2)
 

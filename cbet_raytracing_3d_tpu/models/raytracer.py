@@ -39,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as k
-from ..beams import RayInit, init_rays, load_beam_norms, power_table
+from ..beams import (RayInit, init_rays, lattice_xy, load_beam_norms,
+                     power_table)
 from ..config import Config
 from ..fields import Fields, build_fields
 from ..ops.pallas_deposit import (ZLANES, edep_zpad_shape, finalize_edep,
@@ -386,9 +387,6 @@ def make_device_init(cfg: Config, layout: TileLayout):
     rpt = layout.rays_per_tile
     ntiles_axis = -(-zones // tz)
     tpb_real = ntiles_axis * ntiles_axis
-    span = cfg.beam_max_x - cfg.beam_min_x
-    sx = span / (cfg.nrays_x - 1)
-    sy = span / (cfg.nrays_y - 1)
     pstep = cfg.pow_table_max / (cfg.pow_table_len - 1)
     d = (cfg.dx, cfg.dy, cfg.dz)
     origin = (cfg.xmin, cfg.ymin, cfg.zmin)
@@ -425,9 +423,9 @@ def make_device_init(cfg: Config, layout: TileLayout):
         ry = zy * rpz + ry2
 
         # launch lattice in the focal plane (launch_ray_XZ.cu:76-97);
-        # association matches the host prepare term-for-term
-        x0 = rx.astype(dtype) * sx + cfg.beam_min_x + cfg.dx / 2
-        y0 = ry.astype(dtype) * sy + cfg.beam_min_x + cfg.dy / 2
+        # ONE shared formula definition (beams.lattice_xy) keeps the host
+        # init, device init, and live-tile selection in sync
+        x0, y0 = lattice_xy(cfg, rx.astype(dtype), ry.astype(dtype))
         ref = jnp.sqrt(x0 * x0 + y0 * y0)
         z0 = jnp.asarray(cfg.focal_length - cfg.dz / 2, dtype)
         uray = cfg.uray_mult * uniform_interp(pow_r, 0.0, pstep, ref)
@@ -482,13 +480,9 @@ def live_tile_ids(cfg: Config, layout: TileLayout) -> np.ndarray:
 
     rpz, zones, tz = cfg.rays_per_zone, cfg.zones_spanned, cfg.tile_zones
     ntiles_axis = -(-zones // tz)
-    span = cfg.beam_max_x - cfg.beam_min_x
     kk = np.arange(cfg.nrays, dtype=np.int64)
     raynum = ray_permutation(cfg, kk)
-    x0 = (raynum % cfg.nrays_x) * (span / (cfg.nrays_x - 1)) \
-        + cfg.beam_min_x + cfg.dx / 2
-    y0 = (raynum // cfg.nrays_x) * (span / (cfg.nrays_y - 1)) \
-        + cfg.beam_min_x + cfg.dy / 2
+    x0, y0 = lattice_xy(cfg, raynum % cfg.nrays_x, raynum // cfg.nrays_x)
     ok = np.sqrt(x0 * x0 + y0 * y0) <= cfg.beam_max_x
     if cfg.parity == "reference":
         ok &= kk < cfg.traced_rays_per_beam
@@ -914,7 +908,6 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
     # the equivalent element gather (measured: element-level compaction
     # gathers ate the entire compaction win)
     gathers = []
-    n_prev = len(segments[0].tiles)
     for prev, seg in zip(segments[:-1], segments[1:]):
         prev_valid = prev.tiles[prev.valid]            # sorted, unique
         pos = np.searchsorted(prev_valid, seg.tiles)

@@ -1,13 +1,18 @@
 """Static tile-liveness plan for mid-trace compaction.
 
-Rays die monotonically (absorption/exit — launch_ray_XZ.cu:351-356), so a
-launch tile's "has any depositing ray" property is monotone per chunk.  For
-a fixed config + scene the per-chunk live-tile sets are DETERMINISTIC, which
-turns mid-trace compaction into a *static* plan: measure once (a cheap
-no-deposit pre-trace), cache by config+scene fingerprint, and let the
-segmented trace (raytracer.make_segmented_trace_fn) gather the ray state
-down to the surviving tiles at fixed chunk boundaries — every shape static,
-no host round-trips inside the trace.
+For a fixed config + scene the per-chunk "has any depositing ray" tile
+sets are DETERMINISTIC, which turns mid-trace compaction into a *static*
+plan: measure once (a cheap no-deposit pre-trace), cache by config+scene
+fingerprint, and let the segmented trace
+(raytracer.make_segmented_trace_fn) gather the ray state down to the
+surviving tiles at fixed chunk boundaries — every shape static, no host
+round-trips inside the trace.
+
+CAUTION — raw per-chunk liveness is NOT monotone: live rays can cross
+near-vacuum where the absorption increment is exactly zero for a whole
+chunk and deposit again later.  Segment construction therefore uses the
+suffix-OR ("will this tile ever deposit again?"), which is monotone by
+construction; consumers of ``plan.chunk_live`` must not assume nesting.
 
 Measured per-chunk live-tile fractions on the reference OMEGA scene
 (chunk_steps=25): 1.0 x3, .86, .82 x3, .64, .31, .05, then all-dead — the
@@ -202,7 +207,7 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
         return -(-m // tb) * tb
 
     seg_bounds = [0]
-    cur = pad_counts([len(x) for x in live_at(0)])
+    cur = pad_counts([len(dt) for dt in dev_tiles])   # segment 0 = all tiles
     for c in range(1, n_chunks):
         width = pad_counts([len(x) for x in live_at(c)])
         if width < shrink * cur:
@@ -214,7 +219,15 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
     prev_locals = None                           # per-device local tile ids
     for si in range(len(seg_bounds) - 1):
         c0, c1 = seg_bounds[si], seg_bounds[si + 1]
-        locs = live_at(c0)                       # device-local indices
+        if si == 0:
+            # segment 0 covers EVERY device tile (matching the
+            # single-device build_segments' arange(T)): never-depositing
+            # tiles may still hold LAUNCHED rays, and dropping them here
+            # would silently remove those rays from the returned final
+            # state (termination/energy accounting)
+            locs = [np.arange(len(dt)) for dt in dev_tiles]
+        else:
+            locs = live_at(c0)                   # device-local indices
         width = pad_counts([len(x) for x in locs])
         tiles_s = np.zeros((n_dev, width), np.int64)
         valid_s = np.zeros((n_dev, width), bool)
@@ -288,11 +301,19 @@ def load_plan(path: str, fingerprint: str) -> TilePlan | None:
 
 def get_or_measure_plan(cfg: Config, ctx, state0,
                         cache_dir: str | None) -> TilePlan:
-    fp = scene_fingerprint(ctx)
+    n_tiles = state0.n // ctx.layout.rays_per_tile
+    # the traced slot layout (tile count) is part of the key: it varies
+    # with device count / padding mode, and a plan measured on a different
+    # layout would misalign every segmented gather
+    fp = f"{scene_fingerprint(ctx)}_t{n_tiles}"
     if cache_dir:
         plan = load_plan(plan_path(cache_dir, fp), fp)
-        if plan is not None and plan.chunk_steps == max(
-                1, min(cfg.chunk_steps, cfg.nt)):
+        if (plan is not None
+                and plan.chunk_steps == max(1, min(cfg.chunk_steps, cfg.nt))
+                # the traced slot LAYOUT (tile count) varies with device
+                # count / padding mode; a plan measured on a different
+                # layout would misalign every gather
+                and plan.chunk_live.shape[1] == n_tiles):
             return plan
     plan = measure_plan(cfg, ctx, state0)
     if cache_dir:

@@ -54,6 +54,7 @@ def small_trace(backend: str) -> np.ndarray:
 def interpret_in_subprocess() -> np.ndarray:
     """Run the interpret-mode reference on CPU in a clean subprocess."""
     out = os.path.join(REPO, ".cbet_cache", "parity_interpret.npy")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import numpy as np\n"

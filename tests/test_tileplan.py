@@ -58,7 +58,10 @@ def test_segmented_trace_matches_plain(profiles):
 def test_plan_cache_roundtrip(tmp_path, profiles):
     cfg, ctx, rpt, state0 = _setup(profiles)
     plan = tp.get_or_measure_plan(cfg, ctx, state0, str(tmp_path))
-    fp = tp.scene_fingerprint(ctx)
+    # the cache key includes the traced slot layout (tile count): a plan
+    # measured for a different device-count/padding layout must not load
+    fp = (f"{tp.scene_fingerprint(ctx)}"
+          f"_t{state0.n // ctx.layout.rays_per_tile}")
     loaded = tp.load_plan(tp.plan_path(str(tmp_path), fp), fp)
     assert loaded is not None
     np.testing.assert_array_equal(loaded.chunk_live, plan.chunk_live)

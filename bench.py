@@ -153,6 +153,20 @@ def main() -> int:
             "cbet_tol": cfg.cbet_tol,
             "cbet_edep_total": float(res.edep.sum()),
         })
+        # the production-fast configuration: one gain lookup per deposit
+        # window (cbet_gain_stride=5) — measured deviation 12% of the CBET
+        # effect at production resolution (BASELINE.md); reported alongside
+        # the exact (per-step, oracle-validated) solve above
+        cfg_fast = _dc.replace(cfg, cbet_gain_stride=5)
+        cbet_solve(_dc.replace(cfg_fast, cbet_max_iters=1), ctx)  # warm
+        t0 = time.perf_counter()
+        res_f = cbet_solve(cfg_fast, ctx)
+        out.update({
+            "cbet_fast_wallclock_seconds": round(time.perf_counter() - t0, 1),
+            "cbet_fast_gain_stride": 5,
+            "cbet_fast_iterations": res_f.iterations,
+            "cbet_fast_converged": bool(res_f.converged),
+        })
     except Exception as e:                     # keep the primary line valid
         out["cbet_error"] = repr(e)[:200]
     print(json.dumps(out))

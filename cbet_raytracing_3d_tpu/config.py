@@ -75,6 +75,14 @@ class Config:
     cbet_relax: float = 0.5           # under-relaxation of the intensity-field update
     machnum: float = k.MACH           # flow Mach number (def.cuh:99; machnum undefined there)
     ncrossings_mult: int = 3          # ncrossings = mult*nx (def.cuh:96)
+    # CBET gain-lookup stride: 1 samples the gain field at every step's
+    # cell (the oracle-validated model); when equal to deposit_batch_steps
+    # the lookup happens once per deposit window (at the window-entry cell,
+    # applied per step along the window's path) — rays travel ~0.5 cells
+    # per step, so a 5-step window samples the smooth gain field ~2.5 cells
+    # apart instead of ~0.5.  Cuts the dominant per-iteration gather cost
+    # ~5x; measured accuracy impact recorded in BASELINE.md.
+    cbet_gain_stride: int = 1
     # CBET intensity/gain grid coarsening: 1 evaluates the per-beam intensity
     # fields and gain on the full node grid; s>1 uses an s-times-coarser node
     # grid (nodes at full-grid indices 0, s, 2s, ...).  The gain fields are

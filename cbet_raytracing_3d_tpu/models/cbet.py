@@ -334,9 +334,20 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             gain_flat = gain.reshape(-1)
             bid_off = bid.astype(jnp.int32) * jnp.int32(P)
 
-            def apply_gain(state):
+            def lookup_g(state):
+                # the lookup table is ALWAYS full-resolution (coarsened gain
+                # fields are trilinearly upsampled once per fixed-point
+                # iteration, cbet_solve) — nearest-coarse-node lookups were
+                # measured to distort the coupled edep by >half the CBET
+                # effect on the two-beam validation scene
+                cx, cy, cz = state.cell
+                flat = (cx * ny + cy) * nz + cz
+                return jnp.take(gain_flat, bid_off + flat, axis=0)
+
+            def apply_gain(state, g=None):
                 # CBET gain along the path element of this step, looked up at
-                # the step-entry cell; the stability clamp on the per-step
+                # the step-entry cell (or reused across a deposit window —
+                # cbet_gain_stride); the stability clamp on the per-step
                 # exponent only engages at transient resonance hotspots
                 # during early fixed-point iterations (physical per-step
                 # gains are O(1e-3..3e-2))
@@ -345,14 +356,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                               + (state.vel[2] * dvec[2]) ** 2)
                 if _ablate == "no_gain":       # cost attribution only
                     return state, ds
-                # the lookup table is ALWAYS full-resolution (coarsened gain
-                # fields are trilinearly upsampled once per fixed-point
-                # iteration, cbet_solve) — nearest-coarse-node lookups were
-                # measured to distort the coupled edep by >half the CBET
-                # effect on the two-beam validation scene
-                cx, cy, cz = state.cell
-                flat = (cx * ny + cy) * nz + cz
-                g = jnp.take(gain_flat, bid_off + flat, axis=0)
+                if g is None:
+                    g = lookup_g(state)
                 factor = jnp.exp(jnp.clip(g * ds, -0.1, 0.1))
                 uray = jnp.where(state.alive, state.uray * factor, state.uray)
                 return dataclasses.replace(state, uray=uray), ds
@@ -386,9 +391,17 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 # advance `batch` steps deferred, then one kernel call per
                 # grid with batch*rays_per_tile contraction rows
                 state, edep, ibeams, oflow = carry
+                # window-strided gain: one lookup at the window-entry cell,
+                # reused for all `batch` steps (Config.cbet_gain_stride) —
+                # cuts the dominant per-iteration gather 5x at a measured-
+                # small model perturbation (the gain field is smooth; rays
+                # travel ~0.5 cells/step)
+                g_win = (lookup_g(state)
+                         if cfg.cbet_gain_stride > 1 and _ablate != "no_gain"
+                         else None)
 
                 def mini(st, _):
-                    st, ds = apply_gain(st)
+                    st, ds = apply_gain(st, g_win)
                     st, (cell, frac, inc) = dstep(st, field4)
                     contrib = jnp.where(st.alive, st.uray * (ds * inv_cdt),
                                         jnp.asarray(0.0, dtype))

@@ -288,6 +288,19 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     if (not grouped_pallas or batch <= 1
             or (chunk % batch or last_chunk % batch)):
         batch = 1
+    # fail loud rather than silently compute a different model: the
+    # window-strided gain lookup only exists on the batched grouped path,
+    # and its window IS the deposit batch
+    if cfg.cbet_gain_stride not in (1, cfg.deposit_batch_steps):
+        raise ValueError(
+            f"cbet_gain_stride must be 1 or deposit_batch_steps "
+            f"(={cfg.deposit_batch_steps}), got {cfg.cbet_gain_stride}")
+    if cfg.cbet_gain_stride > 1 and batch <= 1:
+        raise ValueError(
+            "cbet_gain_stride > 1 requires the batched grouped deposit "
+            "path (Pallas backend, single device, deposit_batch_steps "
+            "dividing the chunk lengths) — this configuration would "
+            "silently run the exact per-step model instead")
     if batch > 1:
         dstep = rt.make_deferred_step_fn(cfg)
         edeposit_b = rt._make_deposit_fn(cfg, rpt * batch, backend)

@@ -268,7 +268,9 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
                 fmat, imat = z["fmat"], z["imat"]
                 mask_slots, beam_id = z["mask_slots"], z["beam_id"]
                 field4_np, eden = z["field4"], z["eden"]
-            layout = build_tile_layout(cfg)
+            # the cached path needs only the scalar layout facts — the
+            # O(nbeams*nrays) slot_of map is what the cache exists to skip
+            layout = build_tile_layout(cfg, with_slots=False)
             dtype = jnp.dtype(cfg.dtype)
             fields = Fields(eden=eden, etemp=None, fgrad=None, absorb=None,
                             wsq_term=None)

@@ -11,8 +11,10 @@ round-trips inside the trace.
 CAUTION — raw per-chunk liveness is NOT monotone: live rays can cross
 near-vacuum where the absorption increment is exactly zero for a whole
 chunk and deposit again later.  Segment construction therefore uses the
-suffix-OR ("will this tile ever deposit again?"), which is monotone by
+suffix-OR ("is this tile ever active again?"), which is monotone by
 construction; consumers of ``plan.chunk_live`` must not assume nesting.
+Liveness is alive-OR-depositing (see measure_plan) so compaction never
+drops a still-stepping ray.
 
 Measured per-chunk live-tile fractions on the reference OMEGA scene
 (chunk_steps=25): 1.0 x3, .86, .82 x3, .64, .31, .05, then all-dead — the
@@ -31,7 +33,7 @@ import numpy as np
 from ..config import Config
 from ..utils.checkpoint import config_fingerprint
 
-PLAN_VERSION = 1
+PLAN_VERSION = 2      # v2: alive-based liveness (see measure_plan)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +65,15 @@ def scene_fingerprint(ctx) -> str:
 def measure_plan(cfg: Config, ctx, state0) -> TilePlan:
     """Measure per-chunk tile liveness with a no-deposit pre-trace of
     ``state0`` (a tile-aligned ray state, e.g. the padded live-tile
-    selection the production trace uses)."""
+    selection the production trace uses).
+
+    Liveness = "any ray ALIVE or depositing" — alive-ness, not just
+    deposit activity: a tile whose rays coast through zero-absorption
+    cells deposits nothing but its rays are still stepping, and dropping
+    it early would freeze their termination state (the plain trace lets
+    them exit/terminate).  Alive-based segments keep edep AND the
+    final-state accounting (run(track_final_state=True)) exact, at a
+    slightly larger kept-tile set."""
     import jax
     import jax.numpy as jnp
 
@@ -81,8 +91,10 @@ def measure_plan(cfg: Config, ctx, state0) -> TilePlan:
         def chunk_body(st, steps):
             def body(carry, _):
                 st, live = carry
+                active = st.alive        # alive at chunk entry OR during it
                 st, (cell, frac, inc) = dstep(st, field4)
-                live = live | (inc > 0).reshape(T, rpt).any(axis=1)
+                row = active | st.alive | (inc > 0)
+                live = live | row.reshape(T, rpt).any(axis=1)
                 return (st, live), None
 
             (st, live), _ = jax.lax.scan(
@@ -195,6 +207,10 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
     death = np.where(any_live, live.shape[0] - 1 -
                      np.argmax(live[::-1], axis=0), -1)
     order = np.argsort(-death, kind="stable")   # long-lived first
+    if n_dev > T:
+        raise ValueError(
+            f"more devices ({n_dev}) than tiles ({T}): shrink the mesh or "
+            "trace this scene unsegmented")
     dev_tiles = [np.sort(order[d::n_dev]) for d in range(n_dev)]
 
     # per-device live tiles per chunk (in each device's local tile list)
@@ -281,7 +297,9 @@ def plan_path(cache_dir: str, fingerprint: str) -> str:
 
 def save_plan(path: str, plan: TilePlan, fingerprint: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp.npz"       # np.savez appends .npz unless present
+    # per-pid tmp: concurrent runs sharing a cache dir must not interleave
+    # writes into the same tmp file (np.savez appends .npz unless present)
+    tmp = path + f".tmp{os.getpid()}.npz"
     np.savez_compressed(tmp, version=PLAN_VERSION, fingerprint=fingerprint,
                         chunk_steps=plan.chunk_steps,
                         chunk_live=plan.chunk_live)
@@ -291,12 +309,15 @@ def save_plan(path: str, plan: TilePlan, fingerprint: str) -> None:
 def load_plan(path: str, fingerprint: str) -> TilePlan | None:
     if not os.path.exists(path):
         return None
-    with np.load(path) as z:
-        if (int(z["version"]) != PLAN_VERSION
-                or str(z["fingerprint"]) != fingerprint):
-            return None
-        return TilePlan(chunk_steps=int(z["chunk_steps"]),
-                        chunk_live=np.asarray(z["chunk_live"]))
+    try:
+        with np.load(path) as z:
+            if (int(z["version"]) != PLAN_VERSION
+                    or str(z["fingerprint"]) != fingerprint):
+                return None
+            return TilePlan(chunk_steps=int(z["chunk_steps"]),
+                            chunk_live=np.asarray(z["chunk_live"]))
+    except Exception:
+        return None               # corrupt/partial file -> re-measure
 
 
 def get_or_measure_plan(cfg: Config, ctx, state0,

@@ -209,3 +209,20 @@ def test_run_segmented_matches_plain(tmp_path):
     # second call hits both disk caches (prepare + tile plan)
     seg2 = run(cfg, verbose=False, cache_dir=str(tmp_path / "cache"))
     np.testing.assert_allclose(seg2.edep, plain.edep, rtol=1e-12, atol=0)
+
+
+def test_run_segmented_accounting_with_coasting_rays(tmp_path):
+    """Scene with rays that coast through zero-absorption cells (the
+    non-monotone-liveness case): the compacted path must still report the
+    same termination/energy accounting as the plain trace — the tile plan
+    uses alive-based liveness so still-stepping rays are never dropped."""
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 dtype="float64", chunk_steps=10)
+    plain = run(cfg, verbose=False)
+    seg = run(cfg, verbose=False, cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_allclose(seg.edep, plain.edep, rtol=1e-12, atol=0)
+    for key in ("rays_launched", "rays_terminated", "rays_alive_at_end"):
+        assert seg.stats[key] == plain.stats[key], (
+            key, seg.stats[key], plain.stats[key])
+    np.testing.assert_allclose(seg.stats["energy_absorbed"],
+                               plain.stats["energy_absorbed"], rtol=1e-12)

@@ -13,11 +13,13 @@ the reference's own upper-bound work accounting (BASELINE.md: 60 beams x
 count is the comparable unit).
 
 Baseline: the reference publishes no numbers and its hardware (2x V100) is
-unavailable here (BASELINE.md).  Per the BASELINE.md protocol we use a
-first-principles estimate of the reference single-GPU build: ~1e9 nominal
-ray-steps/s (V100-class device, 8 shared-memory binary searches + 8 global
-atomicAdds per ray-step) — a deliberately generous ceiling so vs_baseline is
-conservative.
+unavailable here.  vs_baseline divides by the midpoint (2.5e8 nominal
+ray-steps/s) of the first-principles single-V100 cost model derived in
+BASELINE.md ("First-principles reference cost model"): the hot loop
+(launch_ray_XZ.cu:207-357) is bound by its 8 contended global f64
+atomicAdds per ray-step (1.2e8-5e8 range; instruction issue, shared-memory
+search traffic, and DRAM RMW are all >1e9 and not binding).  The range is
+reported alongside as vs_baseline_range.
 
 Phase accounting mirrors the reference's Init/Tracing timers
 (main.cu:225-230).  Backend/tunnel bring-up is reported separately
@@ -38,7 +40,10 @@ from cbet_raytracing_3d_tpu import Config
 from cbet_raytracing_3d_tpu.models import raytracer as rt
 from cbet_raytracing_3d_tpu.parallel import sharding as sh
 
-BASELINE_RAY_STEPS_PER_SEC = 1.0e9   # estimated reference single-GPU (see above)
+# Reference single-V100 estimate: midpoint of the 1.2e8-5e8 atomics-bound
+# model in BASELINE.md "First-principles reference cost model" (see above).
+BASELINE_RAY_STEPS_PER_SEC = 2.5e8
+BASELINE_RANGE = (1.2e8, 5.0e8)
 
 
 def main() -> int:
@@ -115,6 +120,8 @@ def main() -> int:
         "value": round(value, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(value / BASELINE_RAY_STEPS_PER_SEC, 3),
+        "vs_baseline_range": [round(value / BASELINE_RANGE[1], 3),
+                              round(value / BASELINE_RANGE[0], 3)],
         "trace_seconds": round(t_trace, 3),
         "edep_fetch_seconds": round(t_fetch, 3),
         "init_seconds": round(t_init, 3),

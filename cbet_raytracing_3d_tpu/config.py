@@ -83,6 +83,38 @@ class Config:
     # apart instead of ~0.5.  Cuts the dominant per-iteration gather cost
     # ~5x; measured accuracy impact recorded in BASELINE.md.
     cbet_gain_stride: int = 1
+    # CBET gain application model:
+    # * "lookup": per-step nearest-node gain-table lookup at the ray's cell
+    #   (one 1-wide gather per step from the (B, P) table — measured
+    #   latency-bound at ~15-21 ms/step, the dominant CBET cost), optionally
+    #   strided per deposit window (cbet_gain_stride).
+    # * "kernel": the tile-window gain contraction — TRILINEAR gain at every
+    #   step's deposit position, computed INSIDE the deposit kernel as the
+    #   transpose of the deposit contraction (reuses the same hat/M
+    #   matrices; ~+50% MXU, zero gathers).  The window's per-step factors
+    #   are cumulative-multiplied and applied to deposits in-kernel, to the
+    #   intensity contributions and ray energies after it — exact by
+    #   multiplicative separability of gain and absorption; the one model
+    #   deviation is that in-window termination checks see the un-gained
+    #   energy (bounded by the clipped per-step gain, measured in
+    #   BASELINE.md).  Requires the batched deposit path
+    #   (deposit_batch_steps dividing the chunk lengths); single-device
+    #   VMEM-grid Pallas or the XLA scatter backend (tests/CPU).
+    cbet_gain_mode: Literal["lookup", "kernel"] = "lookup"
+    # Per-beam-sliced gain-table gathers in "lookup" mode: the CBET ray
+    # layout is beam-contiguous (uniform tiles_per_group), so each beam's
+    # slots can gather from its OWN (P,) 4 MB gain row instead of the full
+    # (B, P) table — gather rows from a 4 MB table measured 7.7 ns vs 13.8
+    # from the 245 MB table (DESIGN_NOTES).  Values are identical (same
+    # elements, sliced); single-device only (sharded solves fall back to
+    # the beam-offset gather).
+    cbet_gain_sliced: bool = False
+    # Static mid-trace tile compaction inside the CBET fixed-point traces
+    # (single-device): the tile plan is measured with stop_fraction=0 —
+    # rays then live until box exit, a strict superset of liveness under
+    # ANY gain (gain never alters trajectories) — and the segmented trace
+    # additionally hard-errors if compaction ever drops a still-alive ray.
+    cbet_segmented: bool = False
     # CBET intensity/gain grid coarsening: 1 evaluates the per-beam intensity
     # fields and gain on the full node grid; s>1 uses an s-times-coarser node
     # grid (nodes at full-grid indices 0, s, 2s, ...).  The gain fields are

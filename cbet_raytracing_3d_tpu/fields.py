@@ -55,6 +55,31 @@ class Fields:
         return self.eden.shape
 
 
+class CachedFields:
+    """Field set restored from the prepare cache: only ``eden`` was
+    persisted (all any downstream consumer needs today — CBET's gain
+    prefactor).  Accessing any other field fails loudly AT THE POINT OF USE
+    instead of handing out ``None`` that blows up far from the cause."""
+
+    __slots__ = ("eden",)
+
+    def __init__(self, eden: np.ndarray):
+        self.eden = eden
+
+    def __getattr__(self, name):
+        if name in ("etemp", "fgrad", "absorb", "wsq_term"):
+            raise AttributeError(
+                f"Fields.{name} is not available on a cache-loaded context "
+                "(the prepare cache persists only eden) — re-run "
+                "prepare() without cache_dir, or bump "
+                "raytracer.PREP_CACHE_VERSION and persist the field")
+        raise AttributeError(name)
+
+    @property
+    def shape(self):
+        return self.eden.shape
+
+
 def node_radii(cfg: Config) -> np.ndarray:
     x = np.arange(cfg.nx) * cfg.dx + cfg.xmin
     y = np.arange(cfg.ny) * cfg.dy + cfg.ymin

@@ -143,10 +143,23 @@ def make_gain_fn(cfg: Config, ctx: rt.TraceContext,
     pre_j = jnp.asarray(pre, jnp.float32)
 
     def gain(intensity):                                # (B, P)
-        eta = (pair_j[:, :, 0:1] * rhat_j[0][None, None, :]
-               + pair_j[:, :, 1:2] * rhat_j[1][None, None, :]
-               + pair_j[:, :, 2:3] * rhat_j[2][None, None, :])   # (B, B, P)
-        g = jnp.sum(resonance(eta) * intensity[None, :, :], axis=1)
+        # accumulate partner beams in (B, P): a (B, B, P) broadcast-then-
+        # reduce would rely on XLA fusing a ~14 GB intermediate away at
+        # OMEGA scale, and a whole-array materialization was observed in at
+        # least one formulation (ops/pallas_gain.py docstring).  This is the
+        # oracle-semantics path — it must be safe at any size on any
+        # backend, not fast.
+        def body(bp, acc):
+            eta = (jax.lax.dynamic_slice_in_dim(pair_j[:, :, 0], bp, 1, 1)
+                   * rhat_j[0][None, :]
+                   + jax.lax.dynamic_slice_in_dim(pair_j[:, :, 1], bp, 1, 1)
+                   * rhat_j[1][None, :]
+                   + jax.lax.dynamic_slice_in_dim(pair_j[:, :, 2], bp, 1, 1)
+                   * rhat_j[2][None, :])                 # (B, P)
+            ib = jax.lax.dynamic_slice_in_dim(intensity, bp, 1, 0)  # (1, P)
+            return acc + resonance(eta) * ib
+
+        g = jax.lax.fori_loop(0, B, body, jnp.zeros_like(intensity))
         return g * pre_j[None, :]
 
     return jax.jit(gain)
@@ -238,6 +251,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        backend: str | None = None,
                        intensity_scatter: bool = False,
                        tiles_per_group: int | None = None,
+                       kernel_precise: bool = False,
+                       segments=None, seg_tpgs=None,
                        _ablate: str = ""):
     """Gain-aware trace builder; ``make()`` returns
     ``(field4, gain (B,P), bid (N,), state0) -> (edep, intensity (B,P),
@@ -247,7 +262,16 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     Extends the base integrator step with the multiplicative CBET gain and
     per-beam intensity accumulation (trilinear deposit of ``uray*|v|/c`` —
     the crossing-record analog) via the grouped Pallas kernel (one grid per
-    beam) or an offset scatter."""
+    beam) or an offset scatter.
+
+    ``segments``/``seg_tpgs`` (from tileplan.build_beam_segments) enable
+    static mid-trace tile compaction: the ray state, beam ids, and the
+    per-beam group width are gathered down at segment boundaries (single
+    device only).  The trace then returns a FIFTH output ``dropped`` — the
+    count of still-alive rays compaction discarded, which callers must
+    hard-error on (a plan measured with stop_fraction=0 guarantees 0 for
+    any gain; the counter is the enforcement) — and the returned ``state``
+    is the full state0-aligned final state (write-back at boundaries)."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     if backend is None:
         backend = rt.resolve_deposit_backend(cfg)
@@ -284,9 +308,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     # `batch` steps deferred, then one kernel call per grid with the
     # contraction over batch*rays_per_tile rows — amortizes the fixed
     # per-grid-step and per-matmul kernel costs that dominate at rows=256
+    kernel_gain = cfg.cbet_gain_mode == "kernel"
     batch = cfg.deposit_batch_steps
-    if (not grouped_pallas or batch <= 1
-            or (chunk % batch or last_chunk % batch)):
+    batch_fits = batch > 1 and not (chunk % batch or last_chunk % batch)
+    if not batch_fits or not (grouped_pallas or (kernel_gain and not pallas)):
         batch = 1
     # fail loud rather than silently compute a different model: the
     # window-strided gain lookup only exists on the batched grouped path,
@@ -301,20 +326,82 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             "path (Pallas backend, single device, deposit_batch_steps "
             "dividing the chunk lengths) — this configuration would "
             "silently run the exact per-step model instead")
+    if kernel_gain:
+        # the window-gain contraction's window IS the deposit batch
+        if cfg.cbet_gain_stride != 1:
+            raise ValueError(
+                "cbet_gain_mode='kernel' subsumes gain striding — set "
+                "cbet_gain_stride=1")
+        if not batch_fits or batch <= 1:
+            raise ValueError(
+                "cbet_gain_mode='kernel' requires deposit_batch_steps > 1 "
+                "dividing the chunk lengths (the window model is defined "
+                "per deposit window)")
+        if pallas and (backend.startswith("pallas_hbm")
+                       or intensity_scatter):
+            raise ValueError(
+                "cbet_gain_mode='kernel' on a Pallas backend is single-"
+                "device VMEM-grid only (beam-contiguous tile groups); use "
+                "'lookup' for pallas_hbm or sharded solves")
     if batch > 1:
         dstep = rt.make_deferred_step_fn(cfg)
-        edeposit_b = rt._make_deposit_fn(cfg, rpt * batch, backend)
     # the intensity deposit box shrinks with the grid (a tile's 5-step
     # window spans ~1/s as many coarse nodes); +4 margin, and the overflow
     # counter still hard-errors if it ever falls short
     ibox = (cfg.deposit_box if s == 1
             else tuple(-(-b // s) + 4 for b in cfg.deposit_box))
-    if grouped_pallas:
-        ideposit = make_tile_deposit(
-            hx, hy, hz, rpt * batch, box=ibox,
-            tiles_per_block=cfg.tiles_per_block, n_groups=nb,
-            tiles_per_group=tpg,
-            interpret=backend == "pallas_interpret")
+
+    def _deposit_set(tpg_s):
+        """The tpg-dependent deposit functions (the grouped intensity
+        kernel's beam-group width, and the window-gain edep kernel's gain-
+        block width) — built once unsegmented, per segment when
+        compacted.  scatter + kernel_gain builds neither: the XLA window
+        path scatters each step's corrected deposits itself."""
+        ideposit_s = edeposit_s = None
+        if batch > 1:
+            if kernel_gain and pallas:
+                edeposit_s = make_tile_deposit(
+                    nx, ny, nz, rpt * batch, box=cfg.deposit_box,
+                    tiles_per_block=cfg.tiles_per_block,
+                    gain_window=(nb, tpg_s, batch, 0.1),
+                    interpret=backend.endswith("_interpret"),
+                    precise=kernel_precise)
+            elif pallas:
+                edeposit_s = rt._make_deposit_fn(cfg, rpt * batch, backend)
+        if grouped_pallas:
+            ideposit_s = make_tile_deposit(
+                hx, hy, hz, rpt * batch, box=ibox,
+                tiles_per_block=cfg.tiles_per_block, n_groups=nb,
+                tiles_per_group=tpg_s,
+                interpret=backend == "pallas_interpret",
+                precise=kernel_precise)
+        return ideposit_s, edeposit_s
+
+    if segments is None:
+        dep_sets = [_deposit_set(tpg)]
+        gathers = origins = None
+    else:
+        if intensity_scatter:
+            raise ValueError("segmented CBET traces are single-device only")
+        assert len(seg_tpgs) == len(segments)
+        assert sum(len(s.chunk_lengths) for s in segments) == n_chunks
+        dep_sets = [_deposit_set(t) for t in seg_tpgs]
+        from .tileplan import segment_gather_rows
+        T_all = int(segments[0].tiles.max()) + 1
+        gathers = []
+        for prev, seg in zip(segments[:-1], segments[1:]):
+            pos = segment_gather_rows(prev, seg, T_all)
+            gathers.append((len(prev.tiles), jnp.asarray(pos),
+                            jnp.asarray(np.repeat(seg.valid, rpt))))
+        # per-segment slot origins in segment-0 slot space for the final-
+        # state write-back (invalid rows land past the end -> dropped)
+        n0 = len(segments[0].tiles) * rpt
+        origins = []
+        for seg in segments:
+            o = np.where(seg.valid, seg.tiles, -1)
+            sl = o[:, None] * rpt + np.arange(rpt)[None, :]
+            sl[o < 0, :] = n0
+            origins.append(jnp.asarray(sl.reshape(-1)))
 
     def to_coarse(cell, frac):
         """Full-grid (cell, frac) -> coarse-grid (cell, frac): the position
@@ -345,95 +432,248 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             # ~4x-slower gather path (21 ms/step vs ~5 for the 4-wide field
             # row gather); the 1-D take rides the fast row-gather path
             gain_flat = gain.reshape(-1)
-            bid_off = bid.astype(jnp.int32) * jnp.int32(P)
 
-            def lookup_g(state):
-                # the lookup table is ALWAYS full-resolution (coarsened gain
-                # fields are trilinearly upsampled once per fixed-point
-                # iteration, cbet_solve) — nearest-coarse-node lookups were
-                # measured to distort the coupled edep by >half the CBET
-                # effect on the two-beam validation scene
-                cx, cy, cz = state.cell
-                flat = (cx * ny + cy) * nz + cz
-                return jnp.take(gain_flat, bid_off + flat, axis=0)
-
-            def apply_gain(state, g=None):
-                # CBET gain along the path element of this step, looked up at
-                # the step-entry cell (or reused across a deposit window —
-                # cbet_gain_stride); the stability clamp on the per-step
-                # exponent only engages at transient resonance hotspots
-                # during early fixed-point iterations (physical per-step
-                # gains are O(1e-3..3e-2))
-                ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
-                              + (state.vel[1] * dvec[1]) ** 2
-                              + (state.vel[2] * dvec[2]) ** 2)
-                if _ablate == "no_gain":       # cost attribution only
-                    return state, ds
-                if g is None:
-                    g = lookup_g(state)
-                factor = jnp.exp(jnp.clip(g * ds, -0.1, 0.1))
-                uray = jnp.where(state.alive, state.uray * factor, state.uray)
-                return dataclasses.replace(state, uray=uray), ds
-
-            def step(carry, _):
-                state, edep, ibeams, oflow = carry
-                state, ds = apply_gain(state)
-                state, edep, of = base_step(state, edep, field4)
-                # per-beam local-intensity deposit (trilinear, same corner
-                # scheme as edep): uray * v/c -> W/cm^2-scale fields
-                contrib = jnp.where(state.alive,
-                                    state.uray * (ds * inv_cdt),
-                                    jnp.asarray(0.0, dtype))
-                icell, ifrac = to_coarse(state.cell, state.frac)
-                if _ablate == "no_intensity":
-                    pass
-                elif grouped_pallas:
-                    ibeams, of_i = ideposit(ibeams, *icell, *ifrac, contrib)
-                    of = of + of_i
+            if kernel_gain:
+                # per-beam gain tables in the grid's own ghost-padded
+                # layout (ghost nodes = zero gain); built once per trace
+                # call — one cheap pad vs ~nt big-table gathers
+                g3 = gain.reshape(nb, nx, ny, nz)
+                if pallas:
+                    _, yp_pad, zp_pad = edep_zpad_shape(nx, ny, nz)
+                    gain_tab = jnp.pad(
+                        g3.astype(jnp.float32),
+                        ((0, 0), (1, 1), (1, yp_pad - ny - 1),
+                         (1, zp_pad - nz - 1)))
                 else:
-                    # one scatter into the per-beam grids via beam offsets
-                    idx, val = rt._scatter_corner_parts(
-                        cfg, icell, ifrac, contrib, dims=(hx, hy, hz))
+                    gpad_flat = jnp.pad(
+                        g3, ((0, 0), (1, 1), (1, 1), (1, 1))).reshape(-1)
+                    grid_pad = (nx + 2) * (ny + 2) * (nz + 2)
+
+            def mini_nogain(st, _):
+                # window model: advance WITHOUT gain (gain and absorption
+                # are both multiplicative on uray, so the window's
+                # cumulative gain factors apply exactly afterwards); ds is
+                # the step-entry path element — the SAME quadrature as the
+                # lookup mode's apply_gain, so the g->0 limit of the two
+                # modes is identical — and zero on dead rays so their
+                # window factor is exactly 1
+                ds = jnp.sqrt((st.vel[0] * dvec[0]) ** 2
+                              + (st.vel[1] * dvec[1]) ** 2
+                              + (st.vel[2] * dvec[2]) ** 2)
+                ds = jnp.where(st.alive, ds, jnp.asarray(0, dtype))
+                st, (cell, frac, inc) = dstep(st, field4)
+                contrib0 = jnp.where(st.alive, st.uray * (ds * inv_cdt),
+                                     jnp.asarray(0.0, dtype))
+                return st, (*cell, *frac, inc, ds, contrib0)
+
+            def make_chunk_body(dep, bid_l, tpg_s):
+                """The per-chunk scan body, bound to one segment's deposit
+                set, (gathered) per-slot beam ids, and beam-group width."""
+                ideposit, edeposit = dep
+                bid_off = bid_l.astype(jnp.int32) * jnp.int32(P)
+                if kernel_gain and not pallas:
+                    bid_off_pad = (bid_l.astype(jnp.int32)
+                                   * jnp.int32(grid_pad))
+
+                def lookup_g(state):
+                    # the lookup table is ALWAYS full-resolution (coarsened
+                    # gain fields are trilinearly upsampled once per fixed-
+                    # point iteration, cbet_solve) — nearest-coarse-node
+                    # lookups were measured to distort the coupled edep by
+                    # >half the CBET effect on the two-beam validation scene
+                    cx, cy, cz = state.cell
+                    flat = (cx * ny + cy) * nz + cz
+                    if cfg.cbet_gain_sliced and not intensity_scatter:
+                        # per-beam-sliced gathers (identical values): each
+                        # beam's contiguous slot block reads its own 4 MB
+                        # gain row — big-table latency is the dominant
+                        # lookup cost (Config.cbet_gain_sliced)
+                        W = tpg_s * rpt
+                        return jnp.concatenate([
+                            jnp.take(gain[b], flat[b * W:(b + 1) * W],
+                                     axis=0)
+                            for b in range(nb)])
+                    return jnp.take(gain_flat, bid_off + flat, axis=0)
+
+                def apply_gain(state, g=None):
+                    # CBET gain along the path element of this step, looked
+                    # up at the step-entry cell (or reused across a deposit
+                    # window — cbet_gain_stride); the stability clamp on the
+                    # per-step exponent only engages at transient resonance
+                    # hotspots during early fixed-point iterations (physical
+                    # per-step gains are O(1e-3..3e-2))
+                    ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
+                                  + (state.vel[1] * dvec[1]) ** 2
+                                  + (state.vel[2] * dvec[2]) ** 2)
+                    if _ablate == "no_gain":       # cost attribution only
+                        return state, ds
+                    if g is None:
+                        g = lookup_g(state)
+                    factor = jnp.exp(jnp.clip(g * ds, -0.1, 0.1))
+                    uray = jnp.where(state.alive, state.uray * factor,
+                                     state.uray)
+                    return dataclasses.replace(state, uray=uray), ds
+
+                def step_window(carry, _):
+                    # cbet_gain_mode="kernel": trilinear gain at every
+                    # step's deposit position, contracted inside the deposit
+                    # kernel (Pallas) or via 8-corner gathers (XLA scatter
+                    # backend — identical model, the oracle-validation path)
+                    state, edep, ibeams, oflow = carry
+                    state, ys = jax.lax.scan(mini_nogain, state, None,
+                                             length=batch)
+                    if pallas:
+                        def rearrange(a):    # (batch, N) -> tile-major
+                            return (a.reshape(batch, -1, rpt)
+                                    .transpose(1, 0, 2).reshape(-1))
+
+                        args = [rearrange(a) for a in ys]
+                        edep, of_e, gamma = edeposit(edep, *args[:8],
+                                                     gain_tab)
+                        of_i = jnp.int32(0)
+                        if _ablate != "no_intensity":
+                            contrib = args[8] * gamma.reshape(-1).astype(
+                                dtype)
+                            icell, ifrac = to_coarse(args[:3], args[3:6])
+                            ibeams, of_i = ideposit(ibeams, *icell, *ifrac,
+                                                    contrib)
+                        glast = (gamma.reshape(-1, batch, rpt)[:, -1, :]
+                                 .reshape(-1).astype(dtype))
+                        state = dataclasses.replace(state,
+                                                    uray=state.uray * glast)
+                        return (state, edep, ibeams,
+                                oflow + of_e + of_i), None
+                    # XLA form: same window model on the scatter backend
+                    cell, frac = ys[0:3], ys[3:6]      # (batch, N) each
+                    inc, dsb, contrib0 = ys[6], ys[7], ys[8]
+                    ones = jnp.ones_like(dsb[0])
+                    gs = []
+                    for j in range(batch):
+                        cj = tuple(c[j] for c in cell)
+                        fj = tuple(f[j] for f in frac)
+                        idx, w = rt._scatter_corner_parts(cfg, cj, fj, ones)
+                        vals = jnp.take(gpad_flat,
+                                        jnp.tile(bid_off_pad, 8) + idx) * w
+                        gs.append(vals.reshape(8, -1).sum(axis=0))
+                    g = jnp.stack(gs)                   # (batch, N)
+                    gam = jnp.exp(jnp.clip(g * dsb, -0.1, 0.1))
+                    gcum = jnp.cumprod(gam, axis=0)
+                    inc_c = inc * gcum
                     grid_elems = (hx + 2) * (hy + 2) * (hz + 2)
-                    off = jnp.concatenate([bid * grid_elems] * 8)
-                    flat_i = ibeams.reshape(-1).at[idx + off].add(val)
-                    ibeams = flat_i.reshape(ibeams.shape)
-                return (state, edep, ibeams, oflow + of), None
+                    for j in range(batch):
+                        cj = tuple(c[j] for c in cell)
+                        fj = tuple(f[j] for f in frac)
+                        idx, val = rt._scatter_corner_parts(cfg, cj, fj,
+                                                            inc_c[j])
+                        edep = edep.reshape(-1).at[idx].add(val).reshape(
+                            edep.shape)
+                        if _ablate != "no_intensity":
+                            icell, ifrac = to_coarse(cj, fj)
+                            idx2, val2 = rt._scatter_corner_parts(
+                                cfg, icell, ifrac, contrib0[j] * gcum[j],
+                                dims=(hx, hy, hz))
+                            off = jnp.concatenate([bid_l * grid_elems] * 8)
+                            ibeams = ibeams.reshape(-1).at[idx2 + off].add(
+                                val2).reshape(ibeams.shape)
+                    state = dataclasses.replace(state,
+                                                uray=state.uray * gcum[-1])
+                    return (state, edep, ibeams, oflow), None
 
-            def step_batched(carry, _):
-                # advance `batch` steps deferred, then one kernel call per
-                # grid with batch*rays_per_tile contraction rows
-                state, edep, ibeams, oflow = carry
-                # window-strided gain: one lookup at the window-entry cell,
-                # reused for all `batch` steps (Config.cbet_gain_stride) —
-                # cuts the dominant per-iteration gather 5x at a measured-
-                # small model perturbation (the gain field is smooth; rays
-                # travel ~0.5 cells/step)
-                g_win = (lookup_g(state)
-                         if cfg.cbet_gain_stride > 1 and _ablate != "no_gain"
-                         else None)
-
-                def mini(st, _):
-                    st, ds = apply_gain(st, g_win)
-                    st, (cell, frac, inc) = dstep(st, field4)
-                    contrib = jnp.where(st.alive, st.uray * (ds * inv_cdt),
+                def step(carry, _):
+                    state, edep, ibeams, oflow = carry
+                    state, ds = apply_gain(state)
+                    state, edep, of = base_step(state, edep, field4)
+                    # per-beam local-intensity deposit (trilinear, same
+                    # corner scheme as edep): uray * v/c -> W/cm^2 fields
+                    contrib = jnp.where(state.alive,
+                                        state.uray * (ds * inv_cdt),
                                         jnp.asarray(0.0, dtype))
-                    return st, (*cell, *frac, inc, contrib)
+                    icell, ifrac = to_coarse(state.cell, state.frac)
+                    if _ablate == "no_intensity":
+                        pass
+                    elif grouped_pallas:
+                        ibeams, of_i = ideposit(ibeams, *icell, *ifrac,
+                                                contrib)
+                        of = of + of_i
+                    else:
+                        # one scatter into per-beam grids via beam offsets
+                        idx, val = rt._scatter_corner_parts(
+                            cfg, icell, ifrac, contrib, dims=(hx, hy, hz))
+                        grid_elems = (hx + 2) * (hy + 2) * (hz + 2)
+                        off = jnp.concatenate([bid_l * grid_elems] * 8)
+                        flat_i = ibeams.reshape(-1).at[idx + off].add(val)
+                        ibeams = flat_i.reshape(ibeams.shape)
+                    return (state, edep, ibeams, oflow + of), None
 
-                state, ys = jax.lax.scan(mini, state, None, length=batch)
+                def step_batched(carry, _):
+                    # advance `batch` steps deferred, then one kernel call
+                    # per grid with batch*rays_per_tile contraction rows
+                    state, edep, ibeams, oflow = carry
+                    # window-strided gain: one lookup at the window-entry
+                    # cell, reused for all `batch` steps
+                    # (Config.cbet_gain_stride) — cuts the dominant per-
+                    # iteration gather 5x at a measured-small model
+                    # perturbation (the gain field is smooth; rays travel
+                    # ~0.5 cells/step)
+                    g_win = (lookup_g(state)
+                             if cfg.cbet_gain_stride > 1
+                             and _ablate != "no_gain" else None)
 
-                def rearrange(a):    # (batch, N) -> tile-major (N*batch,)
-                    return (a.reshape(batch, -1, rpt)
-                            .transpose(1, 0, 2).reshape(-1))
+                    def mini(st, _):
+                        st, ds = apply_gain(st, g_win)
+                        st, (cell, frac, inc) = dstep(st, field4)
+                        contrib = jnp.where(st.alive,
+                                            st.uray * (ds * inv_cdt),
+                                            jnp.asarray(0.0, dtype))
+                        return st, (*cell, *frac, inc, contrib)
 
-                args = [rearrange(a) for a in ys]
-                edep, of_e = edeposit_b(edep, *args[:7])
-                if _ablate == "no_intensity":
-                    of_i = jnp.int32(0)
-                else:
-                    icell, ifrac = to_coarse(args[:3], args[3:6])
-                    ibeams, of_i = ideposit(ibeams, *icell, *ifrac, args[7])
-                return (state, edep, ibeams, oflow + of_e + of_i), None
+                    state, ys = jax.lax.scan(mini, state, None, length=batch)
+
+                    def rearrange(a):    # (batch, N) -> tile-major
+                        return (a.reshape(batch, -1, rpt)
+                                .transpose(1, 0, 2).reshape(-1))
+
+                    args = [rearrange(a) for a in ys]
+                    edep, of_e = edeposit(edep, *args[:7])
+                    if _ablate == "no_intensity":
+                        of_i = jnp.int32(0)
+                    else:
+                        icell, ifrac = to_coarse(args[:3], args[3:6])
+                        ibeams, of_i = ideposit(ibeams, *icell, *ifrac,
+                                                args[7])
+                    return (state, edep, ibeams, oflow + of_e + of_i), None
+
+                def chunk_body(carry, steps_in_chunk):
+                    state, edep_master, imaster, oflow = carry
+                    edep0 = jnp.zeros(shape3, dtype)
+                    ib0 = jnp.zeros(ishape, igrid_dtype)
+
+                    def run_inner(n_steps):
+                        if batch > 1:
+                            body = (step_window if kernel_gain
+                                    else step_batched)
+                            return jax.lax.scan(body,
+                                                (state, edep0, ib0, oflow),
+                                                None,
+                                                length=n_steps // batch)[0]
+                        return jax.lax.scan(step, (state, edep0, ib0, oflow),
+                                            None, length=n_steps)[0]
+
+                    def run_chunk():
+                        if last_chunk == chunk:
+                            return run_inner(chunk)
+                        return jax.lax.cond(steps_in_chunk == chunk,
+                                            lambda: run_inner(chunk),
+                                            lambda: run_inner(last_chunk))
+
+                    state2, edep32, ib32, oflow = jax.lax.cond(
+                        jnp.any(state.alive), run_chunk,
+                        lambda: (state, edep0, ib0, oflow))
+                    return (state2,
+                            edep_master + edep32.astype(edep_master.dtype),
+                            imaster + ib32, oflow), None
+
+                return chunk_body
 
             # chunked accumulation (see raytracer.make_trace_fn): per-chunk
             # float32 grids promote into wider masters, and fully-dead chunks
@@ -445,37 +685,54 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             igrid_dtype = jnp.float32 if grouped_pallas else dtype
             imaster = jnp.zeros(ishape, igrid_dtype)
 
-            def chunk_body(carry, steps_in_chunk):
-                state, edep_master, imaster, oflow = carry
-                edep0 = jnp.zeros(shape3, dtype)
-                ib0 = jnp.zeros(ishape, igrid_dtype)
+            if segments is None:
+                steps_per_chunk = jnp.asarray(
+                    [chunk] * (n_chunks - 1) + [last_chunk], jnp.int32)
+                (state, edep, ibeams, oflow), _ = jax.lax.scan(
+                    make_chunk_body(dep_sets[0], bid, tpg),
+                    (state0, edep_master, imaster, jnp.int32(0)),
+                    steps_per_chunk)
+                dropped = None
+            else:
+                # static mid-trace tile compaction (tile-row gathers at
+                # segment boundaries) with final-state write-back and the
+                # dropped-alive-ray hard-error counter
+                state, bid_l = state0, bid
+                edep, ibeams = edep_master, imaster
+                oflow = jnp.int32(0)
+                dropped = jnp.int32(0)
+                uray_full, alive_full = state0.uray, state0.alive
 
-                def run_inner(n_steps):
-                    if batch > 1:
-                        return jax.lax.scan(step_batched,
-                                            (state, edep0, ib0, oflow),
-                                            None, length=n_steps // batch)[0]
-                    return jax.lax.scan(step, (state, edep0, ib0, oflow),
-                                        None, length=n_steps)[0]
+                def write_back(uf, af, si, state):
+                    ix = origins[si]
+                    return (uf.at[ix].set(state.uray, mode="drop"),
+                            af.at[ix].set(state.alive, mode="drop"))
 
-                def run_chunk():
-                    if last_chunk == chunk:
-                        return run_inner(chunk)
-                    return jax.lax.cond(steps_in_chunk == chunk,
-                                        lambda: run_inner(chunk),
-                                        lambda: run_inner(last_chunk))
+                for si, seg in enumerate(segments):
+                    if si > 0:
+                        uray_full, alive_full = write_back(
+                            uray_full, alive_full, si - 1, state)
+                        alive_before = jnp.sum(
+                            state.alive.astype(jnp.int32))
+                        t_prev, pos, val = gathers[si - 1]
 
-                state2, edep32, ib32, oflow = jax.lax.cond(
-                    jnp.any(state.alive), run_chunk,
-                    lambda: (state, edep0, ib0, oflow))
-                return (state2, edep_master + edep32.astype(edep_master.dtype),
-                        imaster + ib32, oflow), None
+                        def take(a, t_prev=t_prev, pos=pos):
+                            return a.reshape(t_prev, rpt)[pos].reshape(-1)
 
-            steps_per_chunk = jnp.asarray(
-                [chunk] * (n_chunks - 1) + [last_chunk], jnp.int32)
-            (state, edep, ibeams, oflow), _ = jax.lax.scan(
-                chunk_body, (state0, edep_master, imaster, jnp.int32(0)),
-                steps_per_chunk)
+                        state = jax.tree_util.tree_map(take, state)
+                        state = dataclasses.replace(
+                            state, alive=state.alive & val)
+                        bid_l = take(bid_l)
+                        dropped += alive_before - jnp.sum(
+                            state.alive.astype(jnp.int32))
+                    steps = jnp.asarray(seg.chunk_lengths, jnp.int32)
+                    (state, edep, ibeams, oflow), _ = jax.lax.scan(
+                        make_chunk_body(dep_sets[si], bid_l, seg_tpgs[si]),
+                        (state, edep, ibeams, oflow), steps)
+                uray_full, alive_full = write_back(
+                    uray_full, alive_full, len(segments) - 1, state)
+                state = dataclasses.replace(state0, uray=uray_full,
+                                            alive=alive_full)
 
             if pallas:
                 edep = finalize_edep(edep, cfg.ny, cfg.nz)
@@ -483,6 +740,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 ibeams = finalize_edep(ibeams, hy, hz)
             # crop ghosts -> per-beam node fields (B, Ph) on the CBET grid
             inodes = ibeams[:, 1:-1, 1:-1, 1:hz + 1].reshape(nb, hx * hy * hz)
+            if segments is not None:
+                return edep, inodes, state, oflow, dropped
             return edep, inodes, state, oflow
 
         return trace
@@ -494,13 +753,19 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
 
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
-               backend: str | None = None, verbose: bool = False) -> CbetResult:
+               backend: str | None = None, verbose: bool = False,
+               cache_dir: str | None = None) -> CbetResult:
     """Fixed-point CBET solve (batched over beam pairs).
 
     With a multi-device ``mesh``, each iteration's trace is shard_mapped over
     the ray axis with psum-reduced deposition/intensity grids (BASELINE
     config 5 structure); per-beam intensity then uses the beam-offset scatter
-    path (per-shard grouped grids can't see global beam boundaries)."""
+    path (per-shard grouped grids can't see global beam boundaries).
+
+    ``cfg.cbet_segmented`` (single-device): each iteration's trace runs
+    statically compacted on a gain-proof tile plan (measured with
+    stop_fraction=0, see Config docstring); ``cache_dir`` disk-caches that
+    plan like the base trace's."""
     import math as _math
 
     gain_fn = make_gain_fn(cfg, ctx)
@@ -513,23 +778,47 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
         # (mesh solves just pad the slot axis to the device multiple)
         state0 = pad_rays(ctx.state0, n_dev * rpt * cfg.tiles_per_block)
         bid_np = np.maximum(np.asarray(ctx.beam_id), 0).astype(np.int32)
-        bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
+        bid = np.pad(bid_np, (0, state0.n - bid_np.shape[0]))
         tpg = (ctx.state0.n // rpt) // cfg.nbeams
     else:
         # trace only launched tiles (~24% fewer slots on the OMEGA scene),
         # per-beam block-padded so the grouped intensity kernel keeps
         # uniform beam groups
         slots = live_tile_slots(cfg, ctx)
-        state0 = put_state(pad_rays(rt.select_rays(ctx.state0, slots),
-                                    n_dev * rpt * cfg.tiles_per_block))
+        state0 = pad_rays(rt.select_rays(ctx.state0, slots),
+                          n_dev * rpt * cfg.tiles_per_block)
         tpg = (len(slots) // rpt) // cfg.nbeams
         # per-slot beam ids (padding slots get 0 but are permanently dead)
         bid_np = np.maximum(np.asarray(ctx.beam_id)[slots],
                             0).astype(np.int32)
-        bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
+        bid = np.pad(bid_np, (0, state0.n - bid_np.shape[0]))
+    # commit the per-ray arrays ONCE, in the layout the per-iteration jitted
+    # trace consumes: single-device -> resident on the default device; mesh
+    # -> sharded along the ray axis so every fixed-point iteration reuses
+    # the resident shards instead of re-distributing ~a dozen (N,) arrays
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        sharding = NamedSharding(mesh, _P(AXIS))
+        state0 = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), sharding), state0)
+        bid = jax.device_put(jnp.asarray(bid), sharding)
+    else:
+        state0 = put_state(state0)
+        bid = jnp.asarray(bid)
+    segments = seg_tpgs = None
+    if cfg.cbet_segmented and n_dev == 1:
+        from . import tileplan as tp
+        # gain-proof plan: stop_fraction=0 makes liveness a superset of any
+        # gained trace's (gain never alters trajectories) — the segmented
+        # trace's dropped-alive counter still enforces it below
+        plan_cfg = cfg.replace(stop_fraction=0.0)
+        plan = tp.get_or_measure_plan(plan_cfg, ctx, state0, cache_dir)
+        segments, seg_tpgs = tp.build_beam_segments(plan, cfg, cfg.nt,
+                                                    cfg.nbeams)
     trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
                                      intensity_scatter=n_dev > 1,
-                                     tiles_per_group=tpg)
+                                     tiles_per_group=tpg,
+                                     segments=segments, seg_tpgs=seg_tpgs)
     local = trace_maker()
     if n_dev > 1:
         from jax.sharding import PartitionSpec as Pspec
@@ -539,13 +828,31 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
             return (jax.lax.psum(edep, AXIS), jax.lax.psum(inodes, AXIS),
                     st2, jax.lax.psum(of, AXIS))
 
-        trace = jax.jit(jax.shard_map(
+        trace_j = jax.jit(jax.shard_map(
             sharded, mesh=mesh,
             in_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec(AXIS)),
             out_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec()),
             check_vma=False))
     else:
-        trace = jax.jit(local)
+        trace_j = jax.jit(local)
+
+    def trace(field4, gain, bid_, st):
+        """One gain-coupled trace + the hard-error checks, fenced with a
+        single scalar fetch."""
+        out = trace_j(field4, gain, bid_, st)
+        if segments is not None:
+            edep, inodes, st2, of, dropped = out
+            of, nd = (int(x) for x in jax.device_get((of, dropped)))
+            if nd:
+                raise RuntimeError(
+                    f"CBET compaction dropped {nd} still-alive rays — the "
+                    "gain-proof tile plan was violated (stale plan cache?); "
+                    "clear the plan cache or set cbet_segmented=False")
+        else:
+            edep, inodes, st2, of = out
+            of = int(jax.device_get(of))
+        rt.check_overflow(of, cfg)
+        return edep, inodes, st2
 
     hx, hy, hz = cfg.cbet_grid_shape
     nb = cfg.nbeams
@@ -557,8 +864,7 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     upsample = (make_gain_upsampler(cfg) if cfg.cbet_grid_downsample > 1
                 else (lambda g: g))
 
-    edep, intensity, state, oflow = trace(ctx.field4, zero_gain, bid, state0)
-    rt.check_overflow(int(jax.device_get(oflow)), cfg)
+    edep, intensity, state = trace(ctx.field4, zero_gain, bid, state0)
     history = []
     converged = False
     it = 0
@@ -580,8 +886,7 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     for it in range(1, cfg.cbet_max_iters + 1):
         gain = upsample(gain_fn(intensity.astype(jnp.float32))
                         ).astype(zero_gain.dtype)
-        edep, i_new, state, oflow = trace(ctx.field4, gain, bid, state0)
-        rt.check_overflow(int(jax.device_get(oflow)), cfg)
+        edep, i_new, state = trace(ctx.field4, gain, bid, state0)
         d_dev, s_dev, blended = _step_update(i_new, intensity)
         delta = float(d_dev) / max(float(s_dev), 1e-300)
         history.append(delta)

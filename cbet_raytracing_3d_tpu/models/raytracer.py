@@ -272,8 +272,8 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
             # O(nbeams*nrays) slot_of map is what the cache exists to skip
             layout = build_tile_layout(cfg, with_slots=False)
             dtype = jnp.dtype(cfg.dtype)
-            fields = Fields(eden=eden, etemp=None, fgrad=None, absorb=None,
-                            wsq_term=None)
+            from .. import fields as _fields_mod
+            fields = _fields_mod.CachedFields(eden)
             field4 = (field4_np if host_state
                       else jnp.asarray(field4_np, dtype))
             state0 = _state_from_mats(cfg, fmat, imat, mask_slots, host_state)

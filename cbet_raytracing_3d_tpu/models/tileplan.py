@@ -121,6 +121,7 @@ def build_segments(plan: TilePlan, cfg: Config, nt: int,
     n_chunks = -(-nt // chunk)
     last = nt - (n_chunks - 1) * chunk
     lengths = [chunk] * (n_chunks - 1) + [last]
+    _check_plan_covers(plan, n_chunks)
     # suffix-OR: a tile is "live from chunk c" if it deposits in ANY chunk
     # >= c.  Raw per-chunk liveness is NOT monotone (rays can cross
     # near-vacuum where the absorption increment is exactly zero for a whole
@@ -134,7 +135,7 @@ def build_segments(plan: TilePlan, cfg: Config, nt: int,
     cur_tiles = np.arange(T)
     cur_lengths: list[int] = []
     for c in range(n_chunks):
-        tiles_c = np.nonzero(live[c])[0] if c < live.shape[0] else cur_tiles
+        tiles_c = np.nonzero(live[c])[0]
         if len(tiles_c) == 0:
             # all-dead tail: the in-scan early exit already skips these
             # chunks; splitting further would only add segments
@@ -150,6 +151,20 @@ def build_segments(plan: TilePlan, cfg: Config, nt: int,
         cur_lengths.append(lengths[c])
     segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
     return segments
+
+
+def _check_plan_covers(plan: TilePlan, n_chunks: int) -> None:
+    """A plan covering fewer chunks than the trace needs means it was
+    measured with a different nt/chunk_steps — synthesizing all-live
+    liveness for the tail would violate the nested-subset invariant and
+    trip a searchsorted assert mid-build instead of saying why."""
+    if n_chunks > plan.chunk_live.shape[0]:
+        raise ValueError(
+            f"tile plan covers {plan.chunk_live.shape[0]} chunks but the "
+            f"trace needs {n_chunks} — the plan was measured with a "
+            "different nt/chunk_steps; re-measure it "
+            "(tileplan.get_or_measure_plan keys on these, so this indicates "
+            "a stale or hand-built plan)")
 
 
 def _pad_segment(lengths, tiles, tb) -> Segment:
@@ -175,11 +190,16 @@ class DeviceSegments:
     ``tiles[s]``/``valid[s]`` are (n_dev, T_s) arrays; ``tiles`` ids are in
     the traced (segment-0, device-local) tile space for s>0 and in the
     GLOBAL tile space for s=0 (the caller orders the initial ray state
-    device-major from ``tiles[0]``)."""
+    device-major from ``tiles[0]``).  ``tiles_local`` carries every
+    segment's ids in the segment-0 device-local space (pad duplicates
+    included) — the final-state write-back (track_final_state) needs
+    absolute origins, while the segmented gathers need the
+    relative-to-previous ``tiles``."""
 
     chunk_lengths: tuple        # per segment: tuple of scan-chunk lengths
     tiles: tuple                # per segment: (n_dev, T_s) int64
     valid: tuple                # per segment: (n_dev, T_s) bool
+    tiles_local: tuple          # per segment: (n_dev, T_s) int64, seg-0-local
 
 
 def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
@@ -195,6 +215,7 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
     n_chunks = -(-nt // chunk)
     last = nt - (n_chunks - 1) * chunk
     lengths = [chunk] * (n_chunks - 1) + [last]
+    _check_plan_covers(plan, n_chunks)
     # suffix-OR liveness (see build_segments): monotone by construction, so
     # per-device segment tile sets are nested
     live = np.flip(np.logical_or.accumulate(
@@ -213,10 +234,10 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
             "trace this scene unsegmented")
     dev_tiles = [np.sort(order[d::n_dev]) for d in range(n_dev)]
 
-    # per-device live tiles per chunk (in each device's local tile list)
+    # per-device live tiles per chunk (in each device's local tile list);
+    # c < live.shape[0] is guaranteed by _check_plan_covers above
     def live_at(c):
-        return [np.nonzero(live[c][dt])[0] if c < live.shape[0]
-                else np.arange(len(dt)) for dt in dev_tiles]
+        return [np.nonzero(live[c][dt])[0] for dt in dev_tiles]
 
     def pad_counts(counts):
         m = max(max(counts), 1)
@@ -231,7 +252,7 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
             cur = width
     seg_bounds.append(n_chunks)
 
-    seg_lengths, seg_tiles, seg_valid = [], [], []
+    seg_lengths, seg_tiles, seg_valid, seg_local = [], [], [], []
     prev_locals = None                           # per-device local tile ids
     for si in range(len(seg_bounds) - 1):
         c0, c1 = seg_bounds[si], seg_bounds[si + 1]
@@ -286,9 +307,104 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
         seg_lengths.append(tuple(lengths[c0:c1]))
         seg_tiles.append(tiles_out)
         seg_valid.append(valid_s)
+        seg_local.append(tiles_s.copy())     # seg-0 device-local ids
 
     return DeviceSegments(chunk_lengths=tuple(seg_lengths),
-                          tiles=tuple(seg_tiles), valid=tuple(seg_valid))
+                          tiles=tuple(seg_tiles), valid=tuple(seg_valid),
+                          tiles_local=tuple(seg_local))
+
+
+def build_beam_segments(plan: TilePlan, cfg: Config, nt: int, nbeams: int,
+                        shrink: float = 0.9):
+    """Per-beam-uniform segments for the CBET (grouped-intensity) trace.
+
+    The grouped per-beam kernels require every beam to own the SAME
+    block-aligned tile count (``tiles_per_group``) in a beam-contiguous
+    layout, so compaction here keeps, per segment, each beam's live tiles
+    padded to the max beam's width (with duplicated-but-invalid tiles).
+    Returns ``(segments, tpgs)``: ``Segment``s whose tiles are ordered
+    [beam0 live..pads, beam1 live..pads, ...] (NOT globally sorted — the
+    beam-group layout is the contract), and the per-segment tiles-per-beam.
+
+    CAUTION (gain liveness): a plan measured on the no-gain trace can
+    underestimate how long amplified rays live.  Measure the plan with
+    ``stop_fraction=0`` (rays then live until box exit — a superset of
+    liveness under ANY gain, since gain never alters trajectories), and
+    the segmented CBET trace still hard-errors on any dropped live ray."""
+    chunk = plan.chunk_steps
+    n_chunks = -(-nt // chunk)
+    last = nt - (n_chunks - 1) * chunk
+    lengths = [chunk] * (n_chunks - 1) + [last]
+    _check_plan_covers(plan, n_chunks)
+    live = np.flip(np.logical_or.accumulate(
+        np.flip(plan.chunk_live, 0), 0), 0)
+    T = live.shape[1]
+    assert T % nbeams == 0, (T, nbeams)
+    tpb = T // nbeams
+    tb = cfg.tiles_per_block
+    assert tpb % tb == 0, (tpb, tb)
+    livb = live.reshape(live.shape[0], nbeams, tpb)
+
+    def width(c):
+        cnt = int(livb[c].sum(axis=1).max())
+        return max(-(-cnt // tb) * tb, tb)
+
+    seg_bounds = [0]
+    cur = tpb                       # segment 0 = every tile (launch accounting)
+    for c in range(1, n_chunks):
+        w = width(c)
+        if w < shrink * cur:
+            seg_bounds.append(c)
+            cur = w
+    seg_bounds.append(n_chunks)
+
+    segments, tpgs = [], []
+    prev_per_beam = None
+    for si in range(len(seg_bounds) - 1):
+        c0, c1 = seg_bounds[si], seg_bounds[si + 1]
+        if si == 0:
+            w = tpb
+            per_beam = [np.arange(tpb) for _ in range(nbeams)]
+            valid_b = [np.ones(tpb, bool) for _ in range(nbeams)]
+        else:
+            w = width(c0)
+            per_beam, valid_b = [], []
+            for b in range(nbeams):
+                loc = np.nonzero(livb[c0, b])[0]
+                if len(loc) == 0:
+                    # keep one masked tile from the previous segment
+                    loc = prev_per_beam[b][:1]
+                    v = np.zeros(w, bool)
+                    per_beam.append(np.full(w, loc[0], np.int64))
+                    valid_b.append(v)
+                    continue
+                pad = w - len(loc)
+                per_beam.append(np.concatenate(
+                    [loc, np.full(pad, loc[0], np.int64)]))
+                v = np.ones(w, bool)
+                v[len(loc):] = False
+                valid_b.append(v)
+        prev_per_beam = per_beam
+        tiles = np.concatenate(
+            [b * tpb + per_beam[b] for b in range(nbeams)]).astype(np.int64)
+        valid = np.concatenate(valid_b)
+        segments.append(Segment(chunk_lengths=tuple(lengths[c0:c1]),
+                                tiles=tiles, valid=valid))
+        tpgs.append(w)
+    return segments, tpgs
+
+
+def segment_gather_rows(prev: Segment, seg: Segment, T: int) -> np.ndarray:
+    """Row indices of ``seg.tiles`` in ``prev``'s state layout (which may
+    interleave valid and pad rows — e.g. per-beam blocks): a direct
+    tile-id -> row map over prev's VALID rows.  Every seg tile must exist
+    valid in prev (nested-subset invariant)."""
+    rowmap = np.full(T, -1, np.int64)
+    rows = np.nonzero(prev.valid)[0]
+    rowmap[prev.tiles[prev.valid]] = rows
+    pos = rowmap[seg.tiles]
+    assert (pos >= 0).all(), "segment tiles must be valid in the previous one"
+    return pos
 
 
 def plan_path(cache_dir: str, fingerprint: str) -> str:
@@ -325,8 +441,15 @@ def get_or_measure_plan(cfg: Config, ctx, state0,
     n_tiles = state0.n // ctx.layout.rays_per_tile
     # the traced slot layout (tile count) is part of the key: it varies
     # with device count / padding mode, and a plan measured on a different
-    # layout would misalign every segmented gather
-    fp = f"{scene_fingerprint(ctx)}_t{n_tiles}"
+    # layout would misalign every segmented gather.  The cfg ACTUALLY
+    # traced is hashed too — it may differ from ctx.cfg (the CBET plan is
+    # measured with stop_fraction=0 on the same context; colliding with
+    # the base plan would silently drop gain-extended liveness).
+    fp = scene_fingerprint(ctx)
+    if config_fingerprint(cfg) != config_fingerprint(ctx.cfg):
+        fp = hashlib.sha256(
+            (fp + config_fingerprint(cfg)).encode()).hexdigest()[:16]
+    fp = f"{fp}_t{n_tiles}"
     if cache_dir:
         plan = load_plan(plan_path(cache_dir, fp), fp)
         if (plan is not None

@@ -51,7 +51,8 @@ ZLANES = 128
 
 
 def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
-            nzp, tb, tiles_per_group, ablate=""):
+            nzp, tb, tiles_per_group, ablate="", gain_cfg=None,
+            precise=False):
     # ungrouped: rest = (edep_out_ref, oflow_ref) — the kernel produces this
     # call's deposits on a zeroed grid and the caller adds them to the master
     # (saves a 5.3 MB VMEM input block -> frees room for tiles_per_block=16).
@@ -59,7 +60,12 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
     # grids are carried through the aliased in/out pair because an XLA-level
     # add of all group grids per call would cost nbeams x grid of HBM
     # traffic per step.
-    if len(rest) == 2:
+    # gain-window mode (gain_cfg != None): rest = (gain_tab_ref,
+    # edep_out_ref, oflow_ref, gamma_ref) — see _tile_ebox.
+    if gain_cfg is not None:
+        gain_tab_ref, edep_out_ref, oflow_ref, gamma_ref = rest
+        edep_in_ref = None
+    elif len(rest) == 2:
         edep_in_ref, (edep_out_ref, oflow_ref) = None, rest
     else:
         edep_in_ref, edep_out_ref, oflow_ref = rest
@@ -76,6 +82,12 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
         else:
             edep_out_ref[...] = edep_in_ref[...]
 
+    if gain_cfg is not None:
+        # a skipped (no-deposit) tile must still report identity gains
+        gamma_ref[...] = jnp.ones_like(gamma_ref)
+
+    nflt = 5 if gain_cfg is not None else 4
+
     def tile_body(t, _):
         cx = ints_ref[t, 0, :]
         inc = flts_ref[t, 3, :]
@@ -85,14 +97,20 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
 
         @pl.when(ox < big)
         def _deposit():
-            box, x0, y0, bad = _tile_ebox(
+            gain = None
+            if gain_cfg is not None:
+                gain = (gain_tab_ref.at[0], flts_ref[t, 4, :], gain_cfg)
+            out = _tile_ebox(
                 [ints_ref[t, a, :] for a in range(3)],
-                [flts_ref[t, a, :] for a in range(4)],
+                [flts_ref[t, a, :] for a in range(nflt)],
                 xyidx_ref, zframe0=0, zmax=ZLANES, bx=bx, byk=byk, bz=bz,
-                nxp=nxp, nyp=nyp, ablate=ablate)
+                nxp=nxp, nyp=nyp, ablate=ablate, gain=gain, precise=precise)
+            box, x0, y0, bad = out[:4]
             oflow_ref[0, 0] += bad
             cur = edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :]
             edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :] = cur + box
+            if gain_cfg is not None:
+                gamma_ref[t, :] = out[4]
 
         return 0
 
@@ -100,7 +118,7 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
 
 
 def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
-               nxp, nyp, frame=ZLANES, ablate=""):
+               nxp, nyp, frame=ZLANES, ablate="", gain=None, precise=False):
     """One tile's deposit box: per-axis hat weights contracted over rays on
     the MXU.  Takes the tile's loaded (R,) cell/frac/inc vectors (loaded, not
     ref slices — Mosaic memref slicing needs 128-aligned lane dims).
@@ -108,9 +126,27 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     sits at lanes ``[z0 - zframe0, ...)`` of the 128-lane frame whose global
     z origin is ``zframe0`` (0 for the VMEM-resident grid; the DMA window
     origin for the HBM-grid kernel).  ``zmax`` bounds the global z origin
-    (ZLANES resp. the padded z size)."""
+    (ZLANES resp. the padded z size).
+
+    ``gain`` enables the CBET tile-window gain contraction (the transpose of
+    the deposit, reusing the SAME hat matrices — DESIGN_NOTES "CBET gain
+    lookup as a tile-window kernel contraction"): a triple ``(g_ref, ds,
+    (batch, clip))`` where ``g_ref`` is this tile's beam's gain field in the
+    grid's own padded layout (nxp, nyp_pad, frame) and ``ds`` the (R,) per-
+    row path elements (zero on dead rows).  Per row the trilinear gain at
+    the deposit position is ``g_r = sum_A mb[r,A] * (hz @ G_box^T)[r,A]``
+    (~+50% MXU over the deposit matmul, zero extra M-build); the per-step
+    factors ``exp(clip(g_r*ds_r))`` are cumulative-multiplied over the
+    window's ``batch`` steps (separable from absorption — both are
+    multiplicative) and applied to the deposit increments in-kernel.  A
+    fifth return gives the (R, 1) cumulative factors for the caller's
+    intensity-contribution and uray corrections.
+
+    ``precise`` skips the bf16 casts (and the hi/lo value split) so
+    interpret-mode runs validate against float64 oracles at ~1e-8 — the
+    on-chip bf16 deviation is then measured separately (BASELINE.md)."""
     cx, cy, cz = ints_t
-    fx, fy, fz, inc = flts_t
+    fx, fy, fz, inc = flts_t[:4]
     live = inc > 0.0
 
     big = jnp.int32(10000)
@@ -176,26 +212,64 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     # and lane-tiling it with pltpu.repeat was measured SLOWER (2.30 ->
     # 2.90 s full trace) — the repeat lowers to per-copy passes that cost
     # more than the 4 hat ops it saves.
+    cdt = jnp.float32 if precise else jnp.bfloat16
     xx_of = xyidx_ref[0:1, :].astype(jnp.float32)    # (1, BX*BYK)
     yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
     if ablate == "no_mbuild":
-        mb = jnp.full((r, bx * byk), 0.01, jnp.bfloat16)
+        mb = jnp.full((r, bx * byk), 0.01, cdt)
     else:
         # (bf16 hat arithmetic measured SLOWER — the VPU has no 2x
         # bf16 rate and the casts add passes)
-        mb = (hat(xx_of, qx) * hat(yy_of, qy)).astype(jnp.bfloat16)
+        mb = (hat(xx_of, qx) * hat(yy_of, qy)).astype(cdt)
     iota_z = jax.lax.broadcasted_iota(
         jnp.int32, (r, bz), 1).astype(jnp.float32)
     hz = hat(iota_z, qz)
+
+    gam_cum = None
+    if gain is not None:
+        # CBET tile-window gain contraction (see docstring): trilinear gain
+        # at every row's deposit position = the TRANSPOSE of the deposit
+        # contraction, on the same hat matrices.  Rows outside the deposit
+        # box have all-zero hats -> g_r = 0 -> unit gain (such rows carry
+        # zero absorption increment, and gain ~ ne is zero wherever
+        # absorption is — edge-of-plasma corner effects excepted).
+        g_ref, ds, (batch, clip) = gain
+        gs = g_ref[pl.ds(x0, bx), pl.ds(y0, byk), :]      # (bx, byk, F)
+        ga = gs.reshape(bx * byk, gs.shape[-1])
+        # inverse of the deposit's placement roll: bring lanes
+        # [z0-zframe0, z0-zframe0+bz) to [0, bz)
+        ga = pltpu.roll(ga, zframe0 - z0, 1)[:, :bz]      # (A, BZ)
+        t1 = jax.lax.dot_general(
+            hz.astype(cdt), ga.astype(cdt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (R, A)
+        g_r = jnp.sum(mb.astype(jnp.float32) * t1, axis=1,
+                      keepdims=True)                      # (R, 1)
+        gam = jnp.exp(jnp.clip(g_r * ds[:, None].astype(jnp.float32),
+                               -clip, clip))
+        # cumulative product over the window's steps (rows are step-major
+        # within the tile: row j*rpt + ray) — separable from absorption
+        rpt_ = r // batch
+        parts = [gam[j * rpt_:(j + 1) * rpt_] for j in range(batch)]
+        for j in range(1, batch):
+            parts[j] = parts[j] * parts[j - 1]
+        gam_cum = (jnp.concatenate(parts, axis=0) if batch > 1
+                   else parts[0])                         # (R, 1)
+        inc = inc * gam_cum[:, 0].astype(inc.dtype)
+
     # wi carries the (large) increment: split hi/lo so its value
     # keeps ~16 mantissa bits; hi and lo ride side-by-side in the
     # lane dim so ONE matmul covers both (the MXU pads lanes to 128
     # either way — two bz-lane matmuls would each pay full price)
     wi = hz * inc[:, None]                           # (R, BZ) f32
-    wi_hi = wi.astype(jnp.bfloat16)
-    wi_lo = (wi - wi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    wi_hi = wi.astype(cdt)
+    wi_lo = (wi - wi_hi.astype(jnp.float32)).astype(cdt)
     dn_ = (((0,), (0,)), ((), ()))
-    if ablate == "no_mm":
+    if precise:
+        e = jax.lax.dot_general(mb, wi.astype(jnp.float32),
+                                dimension_numbers=dn_,
+                                preferred_element_type=jnp.float32)
+    elif ablate == "no_mm":
         e = (jnp.zeros((bx * byk, bz), jnp.float32)
              + mb[0:1, 0:bz].astype(jnp.float32)
              + wi_hi[0:1, 0:bz].astype(jnp.float32))
@@ -215,7 +289,10 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     # place the z-box at its lane offset within the frame: pad, roll
     ef = jnp.pad(e, ((0, 0), (0, frame - bz)))
     ef = pltpu.roll(ef, z0 - zframe0, 1)
-    return ef.reshape(bx, byk, frame), x0, y0, bad_count
+    out = (ef.reshape(bx, byk, frame), x0, y0, bad_count)
+    if gain is not None:
+        out = out + (gam_cum[:, 0],)
+    return out
 
 
 def _kernel_hbm(ints_ref, flts_ref, xyidx_ref, edep_hbm_ref, oflow_ref,
@@ -276,7 +353,9 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
                       box: tuple[int, int, int] | int = (28, 24, 32),
                       tiles_per_block: int = 8,
                       n_groups: int = 1, tiles_per_group: int | None = None,
-                      interpret: bool = False, _ablate: str = ""):
+                      interpret: bool = False, _ablate: str = "",
+                      gain_window: tuple | None = None,
+                      precise: bool = False):
     """Build the deposit function
     ``(edep, cx, cy, cz, fx, fy, fz, inc) -> (edep, overflow)``.
 
@@ -284,7 +363,18 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
     tile order; ``inc`` must already be zero for dead/masked rays.  ``edep``
     is the y/z-padded grid of :func:`edep_zpad_shape` — with a leading
     (n_groups,) dim when grouped — float32; use :func:`finalize_edep` to
-    unpad."""
+    unpad.
+
+    ``gain_window=(n_beams, tiles_per_group_gain, batch, clip)`` builds the
+    CBET window-gain variant instead (ungrouped only): signature becomes
+    ``(edep, cx, cy, cz, fx, fy, fz, inc, ds, gain_tab) -> (edep, overflow,
+    gamma)`` where ``gain_tab`` is the (n_beams, nx+2, yp, zp) per-beam
+    gain field in the grid's padded layout (tiles must be beam-contiguous,
+    ``tiles_per_group_gain`` per beam), ``ds`` the per-row path elements
+    (zero on dead rows), and ``gamma`` the (n_tiles, rays_per_tile)
+    cumulative window gain factors applied to the deposits in-kernel (see
+    :func:`_tile_ebox`).  ``rays_per_tile`` here counts contraction ROWS
+    (rays x batch).  ``precise`` disables bf16 (validation builds)."""
     nxp, nyp, nzp = nx + 2, ny + 2, nz + 2
     if nzp > ZLANES:
         raise NotImplementedError(
@@ -301,6 +391,11 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
     bz = min(box[2], ZLANES)
     r = rays_per_tile
     tb = tiles_per_block
+    if gain_window is not None:
+        assert n_groups == 1, "gain-window mode is ungrouped-only"
+        return _make_tile_deposit_gain(
+            nxp=nxp, nzp=nzp, yp=yp, bx=bx, byk=byk, bz=bz, r=r, tb=tb,
+            gain_window=gain_window, interpret=interpret, precise=precise)
 
     def deposit(edep, cx, cy, cz, fx, fy, fz, inc):
         n_tiles = cx.shape[0] // r
@@ -314,7 +409,7 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
 
         kern = functools.partial(_kernel, bx=bx, byk=byk, bz=bz, nxp=nxp,
                                  nyp=yp, nzp=nzp, tb=tb, tiles_per_group=tpg,
-                                 ablate=_ablate)
+                                 ablate=_ablate, precise=precise)
         if grouped:
             # single-buffer the group grids: default double buffering holds
             # 2x(in+out) ~21 MB of VMEM and OOMs; the block changes only every
@@ -390,6 +485,84 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
             )(ints, flts, xyidx)
             edep_out = edep + delta
         return edep_out, oflow[0, 0]
+
+    return deposit
+
+
+def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
+                            gain_window, interpret, precise):
+    """The CBET window-gain deposit builder (see make_tile_deposit).
+
+    The per-beam gain table rides as a grouped VMEM input block (one 128-
+    lane-padded beam grid at a time, single-buffered like the grouped
+    intensity grids — the block changes only at beam boundaries), so the
+    kernel's window access is a plain dynamic VMEM slice, not a manual
+    DMA."""
+    n_beams, tpg_gain, batch, clip = gain_window
+    assert tpg_gain % tb == 0, (tpg_gain, tb)
+    assert r % batch == 0, (r, batch)
+
+    def deposit(edep, cx, cy, cz, fx, fy, fz, inc, ds, gain_tab):
+        n_tiles = cx.shape[0] // r
+        assert n_tiles % tb == 0, (n_tiles, tb)
+        assert n_tiles == n_beams * tpg_gain, (n_tiles, n_beams, tpg_gain)
+        assert edep.shape == (nxp, yp, ZLANES), edep.shape
+        assert gain_tab.shape == (n_beams, nxp, yp, ZLANES), gain_tab.shape
+
+        kern = functools.partial(
+            _kernel, bx=bx, byk=byk, bz=bz, nxp=nxp, nyp=yp, nzp=nzp,
+            tb=tb, tiles_per_group=n_tiles,
+            gain_cfg=(batch, float(clip)), precise=precise)
+
+        def kernel_fn(i_ref, f_ref, xy_ref, g_ref, eout, of, gam):
+            kern(i_ref, f_ref, xy_ref, g_ref, eout, of, gam)
+
+        grid_spec = pl.GridSpec(
+            grid=(n_tiles // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, 3, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 5, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, bx * byk), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nxp, yp, ZLANES),
+                             lambda i: (i * tb // tpg_gain, 0, 0, 0),
+                             memory_space=pltpu.VMEM,
+                             pipeline_mode=pl.Buffered(buffer_count=1)),
+            ],
+            out_specs=[
+                pl.BlockSpec((nxp, yp, ZLANES), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tb, r), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        ints = jnp.stack([a.reshape(n_tiles, r) for a in (cx, cy, cz)],
+                         axis=1)
+        flts = jnp.stack(
+            [a.reshape(n_tiles, r) for a in (fx, fy, fz, inc, ds)], axis=1)
+        jxy = jnp.arange(bx * byk, dtype=jnp.int32)
+        xyidx = jnp.stack([jxy // byk, jxy % byk])
+
+        delta, oflow, gamma = pl.pallas_call(
+            kernel_fn,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nxp, yp, ZLANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles, r), jnp.float32),
+            ],
+            # the beam-gain input block (5.3 MB at 100^3) + the batched
+            # hat/M/t1 temporaries exceed the 16 MB default scoped budget;
+            # v5e has 128 MiB physical VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(ints, flts, xyidx, gain_tab)
+        return edep + delta, oflow[0, 0], gamma
 
     return deposit
 

@@ -293,15 +293,27 @@ def oracle_edep(cfg: Config, prof: RadialProfiles,
 
 def trace_ray_cbet(cfg: Config, prof: RadialProfiles, beam_norm, pow_r,
                    phase_r, beam: int, pre_raynum: int, edep: np.ndarray,
-                   ibeam: np.ndarray, gain_b: np.ndarray | None):
+                   ibeam: np.ndarray, gain_b: np.ndarray | None,
+                   window: int = 0):
     """Trace one ray with the CBET gain applied along its path.
 
-    Mirrors the production step ordering exactly (models/cbet.py):
-    per step, the gain is looked up at the step-entry cell and applied to
-    uray with the path element ds = |v| dt (pre-kick velocity), the base
-    integrator step runs (kick, move, re-index, absorb, edep deposit), and
-    the local-intensity contribution ``uray * ds / (c dt)`` is deposited at
-    the new cell — unless the ray terminated this step."""
+    ``window=0`` mirrors the production "lookup" mode's step ordering
+    exactly (models/cbet.py): per step, the gain is looked up at the
+    step-entry cell and applied to uray with the path element ds = |v| dt
+    (pre-kick velocity), the base integrator step runs (kick, move,
+    re-index, absorb, edep deposit), and the local-intensity contribution
+    ``uray * ds / (c dt)`` is deposited at the new cell — unless the ray
+    terminated this step.
+
+    ``window=batch`` mirrors the "kernel" (tile-window contraction) model:
+    the ray advances WITHOUT gain; per step the TRILINEAR gain at the
+    deposit position (``gain_b`` must then be the ghost-padded
+    (nx+2, ny+2, nz+2) field, ghosts zero) gives a factor
+    ``exp(clip(g*ds))`` that is cumulative-multiplied over the window and
+    applied to the step's edep/intensity deposits; the ray energy is
+    corrected by the cumulative factor at window boundaries (and at
+    termination).  Termination checks see the un-gained in-window energy —
+    the model's one deviation from per-step application."""
     ne_data, r_data, te_data = prof.ne, prof.r, prof.te
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
@@ -343,10 +355,11 @@ def trace_ray_cbet(cfg: Config, prof: RadialProfiles, beam_norm, pow_r,
     myvy = k.C_CMS ** 2 * ((myvy / knorm) * w) / k.OMEGA
     myvz = k.C_CMS ** 2 * ((myvz / knorm) * w) / k.OMEGA
 
+    gcum = 1.0
     for _tt in range(cfg.nt):
         # CBET gain along this step's path element (entry cell, pre-kick v)
         ds = math.sqrt(myvx ** 2 + myvy ** 2 + myvz ** 2) * dt
-        if gain_b is not None:
+        if gain_b is not None and window == 0:
             g = gain_b[thisx, thisy, thisz]
             uray *= math.exp(min(max(g * ds, -0.1), 0.1))
 
@@ -427,15 +440,37 @@ def trace_ray_cbet(cfg: Config, prof: RadialProfiles, beam_norm, pow_r,
             grid[thisx + 1, thisy + 1 + sy, thisz + 1 + sz] += dl * dn * (1 - dm) * amount
             grid[thisx + 1 + sx, thisy + 1 + sy, thisz + 1 + sz] += dl * dn * dm * amount
 
-        _deposit(edep, increment)
+        if gain_b is not None and window > 0:
+            # trilinear gain at the deposit position from the ghost-padded
+            # field (same corner weights as the deposit), folded into the
+            # window's cumulative factor
+            gp = gain_b
+            ix, iy, iz = thisx + 1, thisy + 1, thisz + 1
+            g = ((1 - dl) * (1 - dn) * (1 - dm) * gp[ix, iy, iz]
+                 + (1 - dl) * (1 - dn) * dm * gp[ix + sx, iy, iz]
+                 + dl * (1 - dn) * (1 - dm) * gp[ix, iy, iz + sz]
+                 + dl * (1 - dn) * dm * gp[ix + sx, iy, iz + sz]
+                 + (1 - dl) * dn * (1 - dm) * gp[ix, iy + sy, iz]
+                 + (1 - dl) * dn * dm * gp[ix + sx, iy + sy, iz]
+                 + dl * dn * (1 - dm) * gp[ix, iy + sy, iz + sz]
+                 + dl * dn * dm * gp[ix + sx, iy + sy, iz + sz])
+            gcum *= math.exp(min(max(g * ds, -0.1), 0.1))
+
+        _deposit(edep, increment * gcum if window > 0 else increment)
 
         if (uray <= cfg.stop_fraction * uray_init
                 or myx < (cfg.xmin - dx / 2.0) or myx > (cfg.xmax + dx / 2.0)
                 or myy < (cfg.ymin - dy / 2.0) or myy > (cfg.ymax + dy / 2.0)
                 or myz < (cfg.zmin - dz / 2.0) or myz > (cfg.zmax + dz / 2.0)):
+            if window > 0:
+                uray *= gcum     # energy correction up to the death step
             break            # terminated: no intensity contribution this step
 
-        _deposit(ibeam, uray * ds / (k.C_CMS * dt))
+        _deposit(ibeam, uray * ds * gcum / (k.C_CMS * dt) if window > 0
+                 else uray * ds / (k.C_CMS * dt))
+        if window > 0 and (_tt + 1) % window == 0:
+            uray *= gcum
+            gcum = 1.0
 
 
 def oracle_cbet_gain(cfg: Config, prof: RadialProfiles, beam_norm,
@@ -483,12 +518,15 @@ def oracle_cbet_gain(cfg: Config, prof: RadialProfiles, beam_norm,
     return gain * pre[None]
 
 
-def oracle_cbet_iteration(cfg: Config, prof: RadialProfiles, beam_norm=None):
+def oracle_cbet_iteration(cfg: Config, prof: RadialProfiles, beam_norm=None,
+                          window: int = 0):
     """One literal CBET iteration: uncoupled trace -> intensity fields I0 ->
     gain(I0) -> gain-coupled retrace -> (I0, gain, edep1, I1).
 
     All float64, per-ray Python loops — the independent check for the
-    production fixed point's first iteration values."""
+    production fixed point's first iteration values.  ``window`` selects
+    the gain-application model (see trace_ray_cbet): 0 = per-step lookup,
+    batch = the tile-window (cbet_gain_mode="kernel") model."""
     if beam_norm is None:
         beam_norm = load_beam_norms(nbeams=cfg.nbeams)
     pow_r = power_table(cfg)
@@ -500,9 +538,11 @@ def oracle_cbet_iteration(cfg: Config, prof: RadialProfiles, beam_norm=None):
         ibeams = np.zeros((cfg.nbeams,) + shape_p)
         for b in range(cfg.nbeams):
             gb = None if gain is None else gain[b]
+            if gb is not None and window > 0:
+                gb = np.pad(gb, 1)       # ghost-padded for trilinear sampling
             for rr in range(cfg.traced_rays_per_beam):
                 trace_ray_cbet(cfg, prof, beam_norm, pow_r, phase_r, b, rr,
-                               edep, ibeams[b], gb)
+                               edep, ibeams[b], gb, window=window)
         inten = ibeams[:, 1:-1, 1:-1, 1:-1]          # ghost-crop to nodes
         return edep, inten
 

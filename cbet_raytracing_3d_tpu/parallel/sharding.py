@@ -97,7 +97,8 @@ def make_sharded_trace_fn(cfg: Config, mesh: Mesh, rays_per_tile: int,
 
 def make_sharded_segmented_trace_fn(cfg: Config, mesh: Mesh,
                                     rays_per_tile: int, dev_segments,
-                                    backend: str | None = None):
+                                    backend: str | None = None,
+                                    track_final_state: bool = False):
     """Multi-device trace with per-device static tile compaction — the
     device-parallel form of ``raytracer.make_segmented_trace_fn``.
 
@@ -109,7 +110,12 @@ def make_sharded_segmented_trace_fn(cfg: Config, mesh: Mesh,
 
     Returns ``fn(field4, state0) -> (edep, state, oflow)``; ``state0`` must
     be ordered device-major per ``dev_segments.tiles[0]`` (see
-    ``device_major_state``)."""
+    ``device_major_state``).  ``track_final_state=True`` appends
+    ``(uray_full, alive_full)`` — device-major full-length (state0.n,)
+    arrays with every slot's final energy/liveness written back at segment
+    boundaries (the sharded analog of
+    ``raytracer.make_segmented_trace_fn(track_final_state=True)``), so
+    ``trace_stats`` stays complete under compaction."""
     import dataclasses as _dc
 
     import jax.numpy as _jnp
@@ -132,7 +138,22 @@ def make_sharded_segmented_trace_fn(cfg: Config, mesh: Mesh,
     valid0 = _jnp.asarray(np.repeat(dev_segments.valid[0], rpt, axis=1))
     widths = [t.shape[1] for t in dev_segments.tiles]
 
-    def local_trace(field4, state0, valid0_l, *gathers):
+    if track_final_state:
+        # per-segment slot origins in the device-local segment-0 slot
+        # space; pad-duplicate rows write to index n0_local and are
+        # dropped by the scatter (mode="drop")
+        n0_local = widths[0] * rpt
+        origin_args = []
+        for si in range(n_seg):
+            tl = np.asarray(dev_segments.tiles_local[si])     # (D, T_s)
+            o = np.where(dev_segments.valid[si], tl, -1)
+            slots = (o[:, :, None] * rpt
+                     + np.arange(rpt)[None, None, :])         # (D, T_s, rpt)
+            slots[o < 0, :] = n0_local
+            origin_args.append(_jnp.asarray(
+                slots.reshape(tl.shape[0], -1)))              # (D, T_s*rpt)
+
+    def local_trace(field4, state0, valid0_l, origins, *gathers):
         compute_dtype = state0.uray.dtype
         master_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(cfg.edep_dtype))
         master = jnp.zeros(shape3, master_dtype)
@@ -140,8 +161,19 @@ def make_sharded_segmented_trace_fn(cfg: Config, mesh: Mesh,
         # mask rays on dup-padded segment-0 tiles (balancing padding)
         state = _dc.replace(state0, alive=state0.alive & valid0_l[0])
         oflow = jnp.int32(0)
+        if track_final_state:
+            uray_full, alive_full = state0.uray, state0.alive
+
+        def write_back(uray_full, alive_full, si):
+            ix = origins[si][0]
+            return (uray_full.at[ix].set(state.uray, mode="drop"),
+                    alive_full.at[ix].set(state.alive, mode="drop"))
+
         for si in range(n_seg):
             if si > 0:
+                if track_final_state:
+                    uray_full, alive_full = write_back(
+                        uray_full, alive_full, si - 1)
                 pos = gathers[si - 1][0]          # (1, T_s) local shard
                 val = gathers[si - 1][1][0]
                 t_prev = widths[si - 1]
@@ -156,21 +188,32 @@ def make_sharded_segmented_trace_fn(cfg: Config, mesh: Mesh,
                 chunk_body, (state, master, oflow), steps)
         if pallas:
             master = finalize_edep(master, cfg.ny, cfg.nz)
-        return (jax.lax.psum(master, AXIS), state,
-                jax.lax.psum(oflow, AXIS))
+        out = (jax.lax.psum(master, AXIS), state,
+               jax.lax.psum(oflow, AXIS))
+        if track_final_state:
+            uray_full, alive_full = write_back(
+                uray_full, alive_full, n_seg - 1)
+            out = out + ((uray_full, alive_full),)
+        return out
 
     gather_specs = tuple((P(AXIS), P(AXIS)) for _ in range(n_seg - 1))
+    out_specs = (P(), P(AXIS), P())
+    if track_final_state:
+        out_specs = out_specs + ((P(AXIS), P(AXIS)),)
     sharded = jax.shard_map(
         local_trace, mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS)) + gather_specs,
-        out_specs=(P(), P(AXIS), P()),
+        in_specs=(P(), P(AXIS), P(AXIS),
+                  (P(AXIS),) * n_seg if track_final_state else P())
+                 + gather_specs,
+        out_specs=out_specs,
         check_vma=False)
     fn = jax.jit(sharded)
 
     def run(field4, state0):
         gathers = tuple((pos_args[i], val_args[i])
                         for i in range(n_seg - 1))
-        return fn(field4, state0, valid0, *gathers)
+        origins = tuple(origin_args) if track_final_state else 0
+        return fn(field4, state0, valid0, origins, *gathers)
 
     return run
 

@@ -129,17 +129,35 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         import dataclasses as _dc
         import jax.numpy as _jnp
         ctx = _dc.replace(ctx, field4=_jnp.asarray(ctx.field4))
-        # single device + cache: the statically compacted (segmented) trace
-        # with final-state write-back, so the termination/energy accounting
-        # stays complete (the tile plan is measured once and disk-cached)
-        segmented = n_dev == 1 and cache_dir is not None
+        # with a cache dir, the statically compacted (segmented) trace with
+        # final-state write-back — single-device or per-device-balanced
+        # multi-device (the SAME fast path bench.py measures) — so the
+        # termination/energy accounting stays complete; the tile plan is
+        # measured once per config+scene and disk-cached
+        segmented = cache_dir is not None
         if segmented:
             from .models import tileplan as tp
             plan = tp.get_or_measure_plan(cfg, ctx, state0, cache_dir)
-            segments = tp.build_segments(plan, cfg, cfg.nt)
-            fn = jax.jit(rt.make_segmented_trace_fn(
-                cfg, ctx.layout.rays_per_tile, segments, backend,
-                track_final_state=True))
+            if n_dev == 1:
+                segments = tp.build_segments(plan, cfg, cfg.nt)
+                fn = jax.jit(rt.make_segmented_trace_fn(
+                    cfg, ctx.layout.rays_per_tile, segments, backend,
+                    track_final_state=True))
+            else:
+                dseg = tp.build_device_segments(plan, cfg, cfg.nt, n_dev)
+                fn = sh.make_sharded_segmented_trace_fn(
+                    cfg, mesh, ctx.layout.rays_per_tile, dseg, backend,
+                    track_final_state=True)
+                # reorder the SAME state the plan was measured on; mask the
+                # per-device dup-padded balancing tiles so the final-state
+                # accounting (trace_stats) never counts a ray twice
+                state0 = sh.device_major_state(
+                    state0, ctx.layout.rays_per_tile, dseg)
+                valid0 = np.repeat(np.asarray(dseg.valid[0]),
+                                   ctx.layout.rays_per_tile,
+                                   axis=1).reshape(-1)
+                state0 = _dc.replace(
+                    state0, alive=state0.alive & _jnp.asarray(valid0))
         else:
             fn = sh.make_sharded_trace_fn(cfg, mesh,
                                           ctx.layout.rays_per_tile, backend)

@@ -226,3 +226,26 @@ def test_run_segmented_accounting_with_coasting_rays(tmp_path):
             key, seg.stats[key], plain.stats[key])
     np.testing.assert_allclose(seg.stats["energy_absorbed"],
                                plain.stats["energy_absorbed"], rtol=1e-12)
+
+
+def test_run_multidevice_segmented_matches_plain(tmp_path):
+    """run() on a multi-device mesh with a cache_dir takes the per-device-
+    balanced segmented trace (the SAME fast path bench.py measures) with
+    final-state write-back: deposition and the full termination/energy
+    accounting must match the plain sharded path exactly (float64)."""
+    import jax
+
+    from cbet_raytracing_3d_tpu.parallel import sharding as sh
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 dtype="float64", tiles_per_block=1, chunk_steps=10)
+    mesh = sh.make_mesh(jax.devices()[:4])
+    plain = run(cfg, verbose=False, mesh=mesh)
+    seg = run(cfg, verbose=False, mesh=mesh,
+              cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_allclose(seg.edep, plain.edep, rtol=1e-12, atol=0)
+    for key in ("rays_launched", "rays_terminated", "rays_alive_at_end"):
+        assert seg.stats[key] == plain.stats[key], (
+            key, seg.stats[key], plain.stats[key])
+    np.testing.assert_allclose(seg.stats["energy_absorbed"],
+                               plain.stats["energy_absorbed"], rtol=1e-12)

@@ -1007,6 +1007,34 @@ def make_chunk_fn(cfg: Config, rays_per_tile: int, n_steps: int,
     return chunk
 
 
+def make_chunk_delta_fn(cfg: Config, rays_per_tile: int,
+                        backend: str | None = None):
+    """Host-dispatched single-chunk advance with the FULL chunk machinery
+    (batched deposits included):
+    ``(field4, state, oflow, steps_in_chunk) -> (state, delta_f32, oflow)``.
+
+    Unlike :func:`make_chunk_fn` (per-step, master-accumulating), this
+    returns the chunk's deposits on a fresh float32 grid so the host loop
+    owns master accumulation (e.g. pairwise/compensated summation at
+    BASELINE-config-4 scale, where the master must be float64-equivalent
+    but TPU f64 is unavailable).  ``steps_in_chunk`` must be
+    ``cfg.chunk_steps`` or the final partial chunk length.  Host-dispatched
+    chunks exist because the tunneled worker kills single multi-minute XLA
+    executions (DESIGN_NOTES)."""
+    if backend is None:
+        backend = resolve_deposit_backend(cfg)
+    (make_chunk_body, shape3, pallas, chunk, last_chunk,
+     n_chunks) = _make_chunk_machinery(cfg, rays_per_tile, backend)
+
+    def chunk_fn(field4, state: RayState, oflow, steps_in_chunk):
+        body = make_chunk_body(field4, state.uray.dtype)
+        (state, delta, oflow), _ = body(
+            (state, jnp.zeros(shape3, jnp.float32), oflow), steps_in_chunk)
+        return state, delta, oflow
+
+    return chunk_fn
+
+
 def trace_shapes(cfg: Config, backend: str | None = None):
     """(master grid shape, finalize fn) for the resolved backend."""
     if backend is None:

@@ -62,7 +62,7 @@ def scene_fingerprint(ctx) -> str:
     return h.hexdigest()[:16]
 
 
-def measure_plan(cfg: Config, ctx, state0) -> TilePlan:
+def measure_plan(cfg: Config, ctx, state0, hosted: bool = False) -> TilePlan:
     """Measure per-chunk tile liveness with a no-deposit pre-trace of
     ``state0`` (a tile-aligned ray state, e.g. the padded live-tile
     selection the production trace uses).
@@ -73,7 +73,11 @@ def measure_plan(cfg: Config, ctx, state0) -> TilePlan:
     it early would freeze their termination state (the plain trace lets
     them exit/terminate).  Alive-based segments keep edep AND the
     final-state accounting (run(track_final_state=True)) exact, at a
-    slightly larger kept-tile set."""
+    slightly larger kept-tile set.
+
+    ``hosted=True`` dispatches one jit call PER CHUNK from the host —
+    required at scales where the whole pre-trace is a multi-minute single
+    execution (the tunneled worker kills those, DESIGN_NOTES)."""
     import jax
     import jax.numpy as jnp
 
@@ -84,32 +88,42 @@ def measure_plan(cfg: Config, ctx, state0) -> TilePlan:
     dstep = rt.make_deferred_step_fn(cfg)
     chunk = max(1, min(cfg.chunk_steps, cfg.nt))
     n_chunks = -(-cfg.nt // chunk)
-    last = cfg.nt - (n_chunks - 1) * chunk
 
-    @jax.jit
-    def run(field4, st):
-        def chunk_body(st, steps):
-            def body(carry, _):
-                st, live = carry
-                active = st.alive        # alive at chunk entry OR during it
-                st, (cell, frac, inc) = dstep(st, field4)
-                row = active | st.alive | (inc > 0)
-                live = live | row.reshape(T, rpt).any(axis=1)
-                return (st, live), None
+    def chunk_live(st, field4):
+        def body(carry, _):
+            st, live = carry
+            active = st.alive        # alive at chunk entry OR during it
+            st, (cell, frac, inc) = dstep(st, field4)
+            row = active | st.alive | (inc > 0)
+            live = live | row.reshape(T, rpt).any(axis=1)
+            return (st, live), None
 
-            (st, live), _ = jax.lax.scan(
-                body, (st, jnp.zeros((T,), bool)), None, length=chunk)
-            return st, live
+        (st, live), _ = jax.lax.scan(
+            body, (st, jnp.zeros((T,), bool)), None, length=chunk)
+        return st, live
 
-        st2, lives = jax.lax.scan(
-            lambda s, _: chunk_body(s, chunk), st, None, length=n_chunks)
-        return lives
-
-    lives = np.asarray(jax.device_get(run(ctx.field4, state0)))
     # the final partial chunk is covered by scanning full `chunk` steps per
-    # chunk above (extra steps on dead rays only widen liveness, never
-    # shrink it — safe over-approximation)
-    del last
+    # chunk (extra steps on dead rays only widen liveness, never shrink it
+    # — safe over-approximation)
+    if hosted:
+        # no donation: the caller's state0 is traced for real afterwards
+        # (transient 2x state while measuring — grids are not involved)
+        fn = jax.jit(chunk_live)
+        st = state0
+        rows = []
+        for _ in range(n_chunks):
+            st, live = fn(st, ctx.field4)
+            rows.append(np.asarray(jax.device_get(live)))
+        lives = np.stack(rows)
+    else:
+        @jax.jit
+        def run(field4, st):
+            _, lives = jax.lax.scan(
+                lambda s, _: chunk_live(s, field4), st, None,
+                length=n_chunks)
+            return lives
+
+        lives = np.asarray(jax.device_get(run(ctx.field4, state0)))
     return TilePlan(chunk_steps=chunk, chunk_live=lives)
 
 
@@ -437,7 +451,8 @@ def load_plan(path: str, fingerprint: str) -> TilePlan | None:
 
 
 def get_or_measure_plan(cfg: Config, ctx, state0,
-                        cache_dir: str | None) -> TilePlan:
+                        cache_dir: str | None,
+                        hosted: bool = False) -> TilePlan:
     n_tiles = state0.n // ctx.layout.rays_per_tile
     # the traced slot layout (tile count) is part of the key: it varies
     # with device count / padding mode, and a plan measured on a different
@@ -459,7 +474,7 @@ def get_or_measure_plan(cfg: Config, ctx, state0,
                 # layout would misalign every gather
                 and plan.chunk_live.shape[1] == n_tiles):
             return plan
-    plan = measure_plan(cfg, ctx, state0)
+    plan = measure_plan(cfg, ctx, state0, hosted=hosted)
     if cache_dir:
         save_plan(plan_path(cache_dir, fp), plan, fp)
     return plan

@@ -32,10 +32,11 @@ OUT = {}
 
 def solve(tag, cfg, ctx):
     t0 = time.perf_counter()
-    cbet.cbet_solve(dc.replace(cfg, cbet_max_iters=1), ctx)
+    cbet.cbet_solve(dc.replace(cfg, cbet_max_iters=1), ctx,
+                    cache_dir=".cbet_cache")
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = cbet.cbet_solve(cfg, ctx, verbose=True)
+    res = cbet.cbet_solve(cfg, ctx, verbose=True, cache_dir=".cbet_cache")
     t = time.perf_counter() - t0
     print(f"[{tag}] iters={res.iterations} conv={res.converged} "
           f"wall={t:.1f}s warm={warm:.1f}s edep={res.edep.sum():.8e}",
@@ -79,7 +80,20 @@ def main():
     cfg = Config()
     ctx = rt.prepare(cfg, host_state=True, cache_dir=".cbet_cache")
     r60 = solve("60beam_lookup_exact", cfg, ctx)
-    r60k = solve("60beam_kernel", cfg.replace(cbet_gain_mode="kernel"), ctx)
+    # the round-3 exact-model fast path: compaction + sliced gathers
+    # (both value-identical to the plain exact solve — tested)
+    r60f = solve("60beam_lookup_exact_fast",
+                 cfg.replace(cbet_segmented=True, cbet_gain_sliced=True),
+                 ctx)
+    rel_id = float(np.linalg.norm(r60f.edep - r60.edep)
+                   / np.linalg.norm(r60.edep))
+    OUT["60beam_exact_fast_vs_plain_rel_l2"] = rel_id
+    print(f"60-beam exact fast-vs-plain rel-L2 {rel_id:.3e} "
+          "(must be ~0)", flush=True)
+    # the window-kernel model, plain and compacted
+    r60k = solve("60beam_kernel",
+                 cfg.replace(cbet_gain_mode="kernel", cbet_segmented=True),
+                 ctx)
     rel60 = float(np.linalg.norm(r60k.edep - r60.edep)
                   / np.linalg.norm(r60.edep))
     OUT["60beam_kernel_vs_lookup_rel_l2"] = rel60

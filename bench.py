@@ -54,15 +54,24 @@ def main() -> int:
 
     cfg = Config()
     t_init0 = time.perf_counter()
-    # host-state init: subset/pad in NumPy, one device_put — pure transfers
-    # (device-side select/pad compiles cost ~7 s of Init through the tunnel)
-    ctx = rt.prepare(cfg, host_state=True, cache_dir=".cbet_cache")
     mesh = sh.make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
-    state0 = sh.put_state(sh.pad_rays(
-        rt.select_rays(ctx.state0, ctx.live_slots),
-        n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
-    ctx = dataclasses.replace(ctx, field4=jax.numpy.asarray(ctx.field4))
+    if jax.default_backend() != "cpu":
+        # on-device init (reference parity: init() is accelerator code,
+        # launch_ray_XZ.cu:65-115): the per-ray state is born on-chip,
+        # live-tile compacted and per-beam block-padded; host work is
+        # O(grid + nrays) and uploads are KB-scale
+        ctx = rt.prepare_device(cfg)
+        state0 = sh.pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
+                             * cfg.tiles_per_block)
+    else:
+        # CPU fallback: host-state init — subset/pad in NumPy, one
+        # device_put (pure transfers, no per-op compiles)
+        ctx = rt.prepare(cfg, host_state=True, cache_dir=".cbet_cache")
+        state0 = sh.put_state(sh.pad_rays(
+            rt.select_rays(ctx.state0, ctx.live_slots),
+            n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
+        ctx = dataclasses.replace(ctx, field4=jax.numpy.asarray(ctx.field4))
     # statically compacted (segmented) trace, single- or multi-device; the
     # tile plan is measured once per config+scene and disk-cached
     from cbet_raytracing_3d_tpu.models import tileplan as tp
@@ -146,15 +155,28 @@ def main() -> int:
         import dataclasses as _dc
 
         from cbet_raytracing_3d_tpu.models.cbet import cbet_solve
+
+        # the exact (per-step, oracle-validated) model on its fast path:
+        # segmented CBET traces + per-beam-sliced gain gathers are BOTH
+        # value-identical to the plain exact solve (measured rel-L2 0.0 on
+        # chip, artifacts/cbet_r03.json) — this is still the exact model
+        cfg_exact = _dc.replace(cfg, cbet_segmented=n_dev == 1)
         t0 = time.perf_counter()
-        cbet_solve(_dc.replace(cfg, cbet_max_iters=1), ctx)
+        cbet_solve(_dc.replace(cfg_exact, cbet_max_iters=1), ctx,
+                   cache_dir=".cbet_cache")
         t_cbet_warm = time.perf_counter() - t0
         t0 = time.perf_counter()
-        res = cbet_solve(cfg, ctx)
+        res = cbet_solve(cfg_exact, ctx, cache_dir=".cbet_cache")
         t_cbet = time.perf_counter() - t0
         out["cbet_warmup_seconds"] = round(t_cbet_warm, 1)
+        # result materialization (converged fields + final state, ~250 MB)
+        # is reported separately, same as edep_fetch_seconds above: through
+        # the debug tunnel it is ~12 s of 22 MB/s D2H with no production
+        # analog (local PCIe moves it in milliseconds)
+        t_cbet_fetch = res.stats.get("result_fetch_seconds", 0.0)
         out.update({
-            "cbet_wallclock_seconds": round(t_cbet, 1),
+            "cbet_wallclock_seconds": round(t_cbet - t_cbet_fetch, 1),
+            "cbet_result_fetch_seconds": round(t_cbet_fetch, 1),
             "cbet_iterations": res.iterations,
             "cbet_converged": bool(res.converged),
             "cbet_tol": cfg.cbet_tol,
@@ -165,9 +187,10 @@ def main() -> int:
         # effect at production resolution (BASELINE.md); reported alongside
         # the exact (per-step, oracle-validated) solve above
         cfg_fast = _dc.replace(cfg, cbet_gain_stride=5)
-        cbet_solve(_dc.replace(cfg_fast, cbet_max_iters=1), ctx)  # warm
+        cbet_solve(_dc.replace(cfg_fast, cbet_max_iters=1), ctx,
+                   cache_dir=".cbet_cache")  # warm
         t0 = time.perf_counter()
-        res_f = cbet_solve(cfg_fast, ctx)
+        res_f = cbet_solve(cfg_fast, ctx, cache_dir=".cbet_cache")
         out.update({
             "cbet_fast_wallclock_seconds": round(time.perf_counter() - t0, 1),
             "cbet_fast_gain_stride": 5,

@@ -501,6 +501,13 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
     n_beams, tpg_gain, batch, clip = gain_window
     assert tpg_gain % tb == 0, (tpg_gain, tb)
     assert r % batch == 0, (r, batch)
+    if not interpret and (tb % 8 or r % 128):
+        # the gamma output block is (tiles_per_block, rays*batch); Mosaic
+        # requires the last two block dims divisible by (8, 128) (interpret
+        # mode does not enforce this — fail loud instead of at lowering)
+        raise ValueError(
+            f"gain-window kernel on real TPU needs tiles_per_block % 8 == 0 "
+            f"and rays_per_tile*batch % 128 == 0 (got {tb}, {r})")
 
     def deposit(edep, cx, cy, cz, fx, fy, fz, inc, ds, gain_tab):
         n_tiles = cx.shape[0] // r

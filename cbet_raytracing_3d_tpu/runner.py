@@ -116,19 +116,27 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
             return contextlib.nullcontext()
 
     with timers.phase("Init"):
-        # host-state init: subset/pad in NumPy, one device_put (pure
-        # transfers — device-side select/pad would compile through the
-        # tunnel, see prepare(host_state=True))
-        ctx = rt.prepare(cfg, host_state=True, cache_dir=cache_dir)
+        import dataclasses as _dc
+        import jax.numpy as _jnp
         if mesh is None:
             mesh = sh.make_mesh()
         n_dev = int(np.prod(mesh.devices.shape))
-        state0 = sh.put_state(sh.pad_rays(
-            rt.select_rays(ctx.state0, ctx.live_slots),
-            n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
-        import dataclasses as _dc
-        import jax.numpy as _jnp
-        ctx = _dc.replace(ctx, field4=_jnp.asarray(ctx.field4))
+        if jax.default_backend() != "cpu":
+            # on-device init (the reference's init() is accelerator code,
+            # launch_ray_XZ.cu:65-115): the per-ray state is born on-chip
+            # already live-tile compacted; host work is O(grid + nrays)
+            ctx = rt.prepare_device(cfg)
+            state0 = sh.pad_rays(ctx.state0,
+                                 n_dev * ctx.layout.rays_per_tile
+                                 * cfg.tiles_per_block)
+        else:
+            # CPU: host-state init — subset/pad in NumPy, one device_put
+            # (pure transfers; device-side select/pad would compile per op)
+            ctx = rt.prepare(cfg, host_state=True, cache_dir=cache_dir)
+            state0 = sh.put_state(sh.pad_rays(
+                rt.select_rays(ctx.state0, ctx.live_slots),
+                n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
+            ctx = _dc.replace(ctx, field4=_jnp.asarray(ctx.field4))
         # with a cache dir, the statically compacted (segmented) trace with
         # final-state write-back — single-device or per-device-balanced
         # multi-device (the SAME fast path bench.py measures) — so the
@@ -191,7 +199,8 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
     cbet_result = None
     if with_cbet:
         with timers.phase("CBET"):
-            cbet_result = cbet_solve(cfg, ctx, mesh=mesh, backend=backend)
+            cbet_result = cbet_solve(cfg, ctx, mesh=mesh, backend=backend,
+                                     cache_dir=cache_dir)
 
     timings = timers.as_dict()
     if verbose:

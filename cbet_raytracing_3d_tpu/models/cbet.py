@@ -519,7 +519,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     ds = jnp.sqrt((state.vel[0] * dvec[0]) ** 2
                                   + (state.vel[1] * dvec[1]) ** 2
                                   + (state.vel[2] * dvec[2]) ** 2)
-                    if _ablate == "no_gain":       # cost attribution only
+                    if "no_gain" in _ablate:       # cost attribution only
                         return state, ds
                     if g is None:
                         g = lookup_g(state)
@@ -545,7 +545,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                         edep, of_e, gamma = edeposit(edep, *args[:8],
                                                      gain_tab)
                         of_i = jnp.int32(0)
-                        if _ablate != "no_intensity":
+                        if "no_intensity" not in _ablate:
                             contrib = args[8] * gamma.reshape(-1).astype(
                                 dtype)
                             icell, ifrac = to_coarse(args[:3], args[3:6])
@@ -581,7 +581,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                                             inc_c[j])
                         edep = edep.reshape(-1).at[idx].add(val).reshape(
                             edep.shape)
-                        if _ablate != "no_intensity":
+                        if "no_intensity" not in _ablate:
                             icell, ifrac = to_coarse(cj, fj)
                             idx2, val2 = rt._scatter_corner_parts(
                                 cfg, icell, ifrac, contrib0[j] * gcum[j],
@@ -603,7 +603,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                         state.uray * (ds * inv_cdt),
                                         jnp.asarray(0.0, dtype))
                     icell, ifrac = to_coarse(state.cell, state.frac)
-                    if _ablate == "no_intensity":
+                    if "no_intensity" in _ablate:
                         pass
                     elif grouped_pallas:
                         ibeams, of_i = ideposit(ibeams, *icell, *ifrac,
@@ -631,7 +631,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     # ~0.5 cells/step)
                     g_win = (lookup_g(state)
                              if cfg.cbet_gain_stride > 1
-                             and _ablate != "no_gain" else None)
+                             and "no_gain" not in _ablate else None)
 
                     def mini(st, _):
                         st, ds = apply_gain(st, g_win)
@@ -649,7 +649,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
 
                     args = [rearrange(a) for a in ys]
                     edep, of_e = edeposit(edep, *args[:7])
-                    if _ablate == "no_intensity":
+                    if "no_intensity" in _ablate:
                         of_i = jnp.int32(0)
                     else:
                         icell, ifrac = to_coarse(args[:3], args[3:6])

@@ -86,6 +86,26 @@ def test_cbet_two_beam_fixed_point(two_beam_cfg, two_beam_ctx):
     assert ((i0 > 0) & (i1 > 0)).sum() > 0, "beams never overlap"
 
 
+def test_cbet_solver_cache_reuse(two_beam_cfg, two_beam_ctx, profiles):
+    """The cross-call solver cache (cbet._get_solver): a 1-iteration warm-up
+    and the subsequent full solve must share ONE built solver (keyed on
+    config minus iteration-control fields), and the cached-path result must
+    be identical to a cold solve on a freshly prepared context."""
+    from cbet_raytracing_3d_tpu.models import cbet as cbet_mod
+
+    cbet_mod._SOLVER_CACHE.clear()
+    cbet_solve(two_beam_cfg.replace(cbet_max_iters=1), two_beam_ctx,
+               backend="scatter")
+    assert len(cbet_mod._SOLVER_CACHE) == 1
+    res_cached = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")
+    assert len(cbet_mod._SOLVER_CACHE) == 1, "warm+full must share a solver"
+    ctx2 = rt.prepare(two_beam_cfg, profiles)
+    res_fresh = cbet_solve(two_beam_cfg, ctx2, backend="scatter")
+    assert res_fresh.iterations == res_cached.iterations
+    np.testing.assert_allclose(res_cached.edep, res_fresh.edep,
+                               rtol=1e-12, atol=0)
+
+
 def test_cbet_actually_transfers_energy(two_beam_cfg, two_beam_ctx):
     """With coupling on, the deposition differs from the uncoupled trace."""
     res = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")

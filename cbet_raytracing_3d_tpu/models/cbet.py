@@ -794,7 +794,8 @@ _SOLVER_CACHE_MAX = 3
 
 def _get_solver(cfg: Config, ctx: rt.TraceContext, mesh,
                 backend: str | None, cache_dir: str | None) -> _CbetSolver:
-    key = (cfg.replace(cbet_max_iters=1, cbet_tol=0.0), backend, cache_dir,
+    key = (cfg.replace(cbet_max_iters=1, cbet_tol=0.0, cbet_relax=0.5),
+           backend, cache_dir,
            None if mesh is None else id(mesh))
     hit = _SOLVER_CACHE.get(key)
     if hit is not None and hit[0] is ctx:
@@ -908,13 +909,13 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
 
     # one fused dispatch per iteration for the convergence scalars + the
     # under-relaxed update (each bare jnp op costs a ~40-50 ms tunnel
-    # dispatch round-trip)
+    # dispatch round-trip).  relax rides as an argument so one cached
+    # solver serves every cbet_relax setting (the key normalizes it)
     @jax.jit
-    def _step_update(i_new, i_old):
+    def _step_update(i_new, i_old, relax):
         delta = jnp.max(jnp.abs(i_new - i_old))
         scale = jnp.max(jnp.abs(i_old))
-        blended = (cfg.cbet_relax * i_new
-                   + (1.0 - cfg.cbet_relax) * i_old)
+        blended = relax * i_new + (1.0 - relax) * i_old
         return delta, scale, blended
 
     return _CbetSolver(gain_fn=gain_fn, upsample=upsample, trace=trace,
@@ -962,7 +963,8 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
         _t1 = _time.perf_counter()
         edep, i_new, state = trace(ctx.field4, gain, bid, state0)
         _t2 = _time.perf_counter()
-        d_dev, s_dev, blended = solver.step_update(i_new, intensity)
+        d_dev, s_dev, blended = solver.step_update(
+            i_new, intensity, float(cfg.cbet_relax))
         delta = float(d_dev) / max(float(s_dev), 1e-300)
         _t3 = _time.perf_counter()
         history.append(delta)

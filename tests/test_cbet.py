@@ -106,6 +106,28 @@ def test_cbet_solver_cache_reuse(two_beam_cfg, two_beam_ctx, profiles):
                                rtol=1e-12, atol=0)
 
 
+def test_cbet_relax_invariant_fixed_point(two_beam_cfg, two_beam_ctx):
+    """The converged fixed point is a property of the coupling map, not of
+    the under-relaxation factor: raising cbet_relax must converge in fewer
+    (or equal) iterations to the SAME answer, through ONE cached solver
+    (cbet._get_solver normalizes cbet_relax out of the key).  This backs
+    the production relax sweep (scripts/sweep_cbet_relax.py)."""
+    from cbet_raytracing_3d_tpu.models import cbet as cbet_mod
+
+    cbet_mod._SOLVER_CACHE.clear()
+    tight = two_beam_cfg.replace(cbet_tol=1e-5, cbet_max_iters=40)
+    res_lo = cbet_solve(tight, two_beam_ctx, backend="scatter")
+    res_hi = cbet_solve(tight.replace(cbet_relax=0.9), two_beam_ctx,
+                        backend="scatter")
+    assert len(cbet_mod._SOLVER_CACHE) == 1, "relax must share one solver"
+    assert res_lo.converged and res_hi.converged
+    assert res_hi.iterations <= res_lo.iterations
+    rel = (np.linalg.norm(res_hi.edep - res_lo.edep)
+           / np.linalg.norm(res_lo.edep))
+    # both are within cbet_tol of the same fixed point
+    assert rel < 1e-4, rel
+
+
 def test_cbet_actually_transfers_energy(two_beam_cfg, two_beam_ctx):
     """With coupling on, the deposition differs from the uncoupled trace."""
     res = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")

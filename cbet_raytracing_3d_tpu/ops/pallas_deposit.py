@@ -642,6 +642,11 @@ def make_tile_deposit_hbm(nx: int, ny: int, nz: int, rays_per_tile: int,
                 pltpu.SemaphoreType.DMA,
             ],
             input_output_aliases={3: 0},
+            # the batched (deposit_batch_steps>1) entry's scoped set exceeds
+            # the 16 MB default at config-4 boxes (measured 21.6 MB); the
+            # limit is a compiler knob, v5e has 128 MiB physical VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(ints, flts, xyidx, edep)
         return edep_out, oflow[0, 0]

@@ -32,9 +32,14 @@ from cbet_raytracing_3d_tpu.ops.pallas_deposit import finalize_edep  # noqa: E40
 
 CACHE = os.path.join(REPO, ".cbet_cache")
 
+# deposit_batch_steps=2, not 5: the batched path's deposit-stream buffers
+# (the ~3 copies of (batch, 7, N) modeled in runner.estimate_hbm_bytes)
+# are 22.8 GB at batch=5 with N=54.4M slots — measured compile-time OOM
+# (program 15.0 G + args 3.0 G vs 15.75 G HBM).  batch=2 still halves the
+# HBM-kernel grid-window RMW traffic (the round-2 bottleneck) at ~9 GB.
 cfg = Config(nx=200, ny=200, nz=200, rays_per_zone=15, tile_zones=2,
              deposit_box_x=24, deposit_box_y=24, deposit_box_z=24,
-             deposit_batch_steps=5)
+             deposit_batch_steps=2)
 BACKEND = "pallas_hbm"
 
 t0 = time.perf_counter()

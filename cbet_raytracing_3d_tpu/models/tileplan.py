@@ -53,10 +53,30 @@ class Segment:
     valid: np.ndarray             # (T_s,) bool — False on pad duplicates
 
 
+# Config fields that cannot alter the no-deposit pre-trace (deposit-stage
+# and CBET-solver controls, each gain-free by construction of measure_plan):
+# normalized out of the plan cache key so flipping e.g. deposit_batch_steps
+# does not force a multi-minute re-measure at config-4 scale.
+_PLAN_FREE_FIELDS = ("deposit_backend", "deposit_batch_steps",
+                     "deposit_box_x", "deposit_box_y", "deposit_box_z",
+                     "edep_dtype", "cbet_max_iters", "cbet_tol",
+                     "cbet_relax", "cbet_gain_stride", "cbet_gain_mode",
+                     "cbet_gain_sliced", "cbet_grid_downsample",
+                     "cbet_segmented", "machnum", "ncrossings_mult")
+
+
+def plan_config_fingerprint(cfg: Config) -> str:
+    """config_fingerprint with the liveness-irrelevant fields pinned to
+    their defaults (see _PLAN_FREE_FIELDS)."""
+    defaults = {f.name: f.default for f in dataclasses.fields(Config)}
+    return config_fingerprint(cfg.replace(
+        **{n: defaults[n] for n in _PLAN_FREE_FIELDS}))
+
+
 def scene_fingerprint(ctx) -> str:
     """Config + scene-data fingerprint: the plan is only valid for the exact
-    inputs it was measured on."""
-    h = hashlib.sha256(config_fingerprint(ctx.cfg).encode())
+    inputs it was measured on (modulo _PLAN_FREE_FIELDS)."""
+    h = hashlib.sha256(plan_config_fingerprint(ctx.cfg).encode())
     for a in (ctx.prof.r, ctx.prof.ne, ctx.prof.te, ctx.beam_norm):
         h.update(np.ascontiguousarray(a).tobytes())
     return h.hexdigest()[:16]
@@ -461,9 +481,9 @@ def get_or_measure_plan(cfg: Config, ctx, state0,
     # measured with stop_fraction=0 on the same context; colliding with
     # the base plan would silently drop gain-extended liveness).
     fp = scene_fingerprint(ctx)
-    if config_fingerprint(cfg) != config_fingerprint(ctx.cfg):
+    if plan_config_fingerprint(cfg) != plan_config_fingerprint(ctx.cfg):
         fp = hashlib.sha256(
-            (fp + config_fingerprint(cfg)).encode()).hexdigest()[:16]
+            (fp + plan_config_fingerprint(cfg)).encode()).hexdigest()[:16]
     fp = f"{fp}_t{n_tiles}"
     if cache_dir:
         plan = load_plan(plan_path(cache_dir, fp), fp)

@@ -82,7 +82,10 @@ wb = jax.jit(lambda uf, af, u, a, ix: (uf.at[ix].set(u, mode="drop"),
 
 uray_init_h = np.asarray(jax.device_get(s0.uray_init))
 alive0_h = np.asarray(jax.device_get(s0.alive))
-uray_full, alive_full = s0.uray, s0.alive
+# the final-state accounting arrays must NOT alias s0: chunk_fn donates its
+# state argument, so s0's buffers die with the first chunk call
+_copy = jax.jit(lambda a: a.copy())
+uray_full, alive_full = _copy(s0.uray), _copy(s0.alive)
 state = s0
 oflow = jnp.int32(0)
 slots_acc = {}

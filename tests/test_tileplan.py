@@ -67,3 +67,22 @@ def test_plan_cache_roundtrip(tmp_path, profiles):
     np.testing.assert_array_equal(loaded.chunk_live, plan.chunk_live)
     # wrong fingerprint -> rejected
     assert tp.load_plan(tp.plan_path(str(tmp_path), fp), "deadbeef") is None
+
+
+def test_plan_cache_invariant_to_deposit_knobs(tmp_path, profiles):
+    """Deposit-stage / CBET-solver knobs cannot change the no-deposit
+    liveness pre-trace, so they are normalized out of the plan cache key
+    (tileplan._PLAN_FREE_FIELDS) — flipping them must HIT the cache (at
+    config-4 scale a spurious re-measure costs ~9 minutes).  Physics knobs
+    (stop_fraction) must still MISS."""
+    cfg, ctx, rpt, state0 = _setup(profiles)
+    tp.get_or_measure_plan(cfg, ctx, state0, str(tmp_path))
+
+    import dataclasses as _dc
+    knob = _dc.replace(ctx, cfg=cfg.replace(
+        deposit_batch_steps=2, deposit_backend="scatter", cbet_relax=0.5))
+    fp_base = f"{tp.scene_fingerprint(ctx)}"
+    assert tp.scene_fingerprint(knob) == fp_base
+
+    physics = _dc.replace(ctx, cfg=cfg.replace(stop_fraction=0.0))
+    assert tp.scene_fingerprint(physics) != fp_base

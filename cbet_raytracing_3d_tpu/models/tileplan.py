@@ -148,9 +148,16 @@ def measure_plan(cfg: Config, ctx, state0, hosted: bool = False) -> TilePlan:
 
 
 def build_segments(plan: TilePlan, cfg: Config, nt: int,
-                   shrink: float = 0.9) -> list[Segment]:
+                   shrink: float = 0.9, min_tiles: int = 0) -> list[Segment]:
     """Greedy segmentation: start a new segment whenever the live-tile count
-    drops below ``shrink`` x the current segment's tile count."""
+    drops below ``shrink`` x the current segment's tile count.
+
+    ``min_tiles``: never split once the NEXT segment would hold fewer tiles
+    than this — each extra segment costs one chunk-program (re)compile, and
+    Mosaic deposit-kernel compiles through the tunneled AOT helper run
+    ~2-3 min while a small-tail segment saves only seconds of compute.  At
+    config-4 scale min_tiles~18000 cut 4 tail segments whose combined
+    compute was <1 min."""
     chunk = plan.chunk_steps
     n_chunks = -(-nt // chunk)
     last = nt - (n_chunks - 1) * chunk
@@ -174,12 +181,13 @@ def build_segments(plan: TilePlan, cfg: Config, nt: int,
             # all-dead tail: the in-scan early exit already skips these
             # chunks; splitting further would only add segments
             tiles_c = cur_tiles[:1]
-            if cur_lengths and len(cur_tiles) > tb:
+            if cur_lengths and len(cur_tiles) > tb and min_tiles <= tb:
                 segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
                 cur_tiles, cur_lengths = tiles_c, []
             cur_lengths.append(lengths[c])
             continue
-        if cur_lengths and len(tiles_c) < shrink * len(cur_tiles):
+        if (cur_lengths and len(tiles_c) < shrink * len(cur_tiles)
+                and len(tiles_c) >= min_tiles):
             segments.append(_pad_segment(cur_lengths, cur_tiles, tb))
             cur_tiles, cur_lengths = tiles_c, []
         cur_lengths.append(lengths[c])

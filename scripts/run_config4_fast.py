@@ -1,9 +1,6 @@
 """BASELINE config 4 with the fast machinery composed (round-3):
 
 * on-device init (prepare_device — the 64M-ray state is born on-chip),
-* BATCHED HBM-kernel deposits (deposit_batch_steps=5: one grid-window DMA
-  RMW per 5 steps instead of 5 — the HBM kernel's window traffic was the
-  round-2 bottleneck),
 * host-orchestrated SEGMENTED tile compaction on a cached tile plan
   (single multi-minute executions are killed by the tunneled worker, so
   segments dispatch chunk-by-chunk with jitted tile-row gathers between),
@@ -32,14 +29,17 @@ from cbet_raytracing_3d_tpu.ops.pallas_deposit import finalize_edep  # noqa: E40
 
 CACHE = os.path.join(REPO, ".cbet_cache")
 
-# deposit_batch_steps=2, not 5: the batched path's deposit-stream buffers
-# (the ~3 copies of (batch, 7, N) modeled in runner.estimate_hbm_bytes)
-# are 22.8 GB at batch=5 with N=54.4M slots — measured compile-time OOM
-# (program 15.0 G + args 3.0 G vs 15.75 G HBM).  batch=2 still halves the
-# HBM-kernel grid-window RMW traffic (the round-2 bottleneck) at ~9 GB.
+# deposit_batch_steps=1: batch=5's deposit-stream buffers (the ~3 copies of
+# (batch, 7, N) modeled in runner.estimate_hbm_bytes) are 22.8 GB at
+# N=54.4M slots — measured compile-time OOM (program 15.0 G + args 3.0 G vs
+# 15.75 G HBM).  batch=2 fits (~9 GB) but measured EQUAL to batch=1
+# (~25 s/chunk at 60480 tiles, identical edep_total) — the hypothesized
+# window-DMA halving is cancelled by the stream-buffer traffic, so the
+# simplest setting stands.  The composed win here is the segmented
+# compaction (306 s steady vs round-2's 535 s uncompacted).
 cfg = Config(nx=200, ny=200, nz=200, rays_per_zone=15, tile_zones=2,
              deposit_box_x=24, deposit_box_y=24, deposit_box_z=24,
-             deposit_batch_steps=2)
+             deposit_batch_steps=1)
 BACKEND = "pallas_hbm"
 
 t0 = time.perf_counter()
@@ -53,7 +53,9 @@ print(f"init {t_init:.0f}s rays={cfg.total_rays} live_slots={s0.n} "
 
 t0 = time.perf_counter()
 plan = tp.get_or_measure_plan(cfg, ctx, s0, CACHE, hosted=True)
-segments = tp.build_segments(plan, cfg, cfg.nt)
+# min_tiles: each extra segment costs one ~2-3 min Mosaic recompile through
+# the tunneled AOT helper; the <18000-tile tail segments save <1 min compute
+segments = tp.build_segments(plan, cfg, cfg.nt, min_tiles=18000)
 t_plan = time.perf_counter() - t0
 fr = plan.chunk_live.mean(axis=1)
 print(f"plan {t_plan:.0f}s live fractions: "

@@ -196,21 +196,13 @@ def main() -> int:
             "cbet_tol": cfg.cbet_tol,
             "cbet_edep_total": float(res.edep.sum()),
         })
-        # the production-fast configuration: one gain lookup per deposit
-        # window (cbet_gain_stride=5) — measured deviation 12% of the CBET
-        # effect at production resolution (BASELINE.md); reported alongside
-        # the exact (per-step, oracle-validated) solve above
-        cfg_fast = _dc.replace(cfg, cbet_gain_stride=5)
-        cbet_solve(_dc.replace(cfg_fast, cbet_max_iters=1), ctx,
-                   cache_dir=".cbet_cache")  # warm
-        t0 = time.perf_counter()
-        res_f = cbet_solve(cfg_fast, ctx, cache_dir=".cbet_cache")
-        out.update({
-            "cbet_fast_wallclock_seconds": round(time.perf_counter() - t0, 1),
-            "cbet_fast_gain_stride": 5,
-            "cbet_fast_iterations": res_f.iterations,
-            "cbet_fast_converged": bool(res_f.converged),
-        })
+        # NOTE: rounds 2-3 also reported an approximate "fast" mode
+        # (cbet_gain_stride=5, ~12% model deviation).  It is no longer
+        # reported: the exact solve's per-beam-sliced gain gathers +
+        # segmented traces made the EXACT model faster than the stride
+        # approximation (43.7 s vs ~50 s fetch-adjusted, out/bench_r03.log),
+        # so the approximation earns nothing.  The knob remains available
+        # and tested (cbet_gain_stride / cbet_gain_mode="kernel").
     except Exception as e:                     # keep the primary line valid
         out["cbet_error"] = repr(e)[:200]
     print(json.dumps(out))

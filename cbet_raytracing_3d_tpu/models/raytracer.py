@@ -367,6 +367,9 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
                         state0=state0, beam_id=beam_id, live_slots=live_slots)
 
 
+_DEVICE_INIT_CACHE: dict = {}
+
+
 def make_device_init(cfg: Config, layout: TileLayout):
     """Jitted on-device ray initialization — the analog of the reference's
     GPU-side ``init()`` (launch_ray_XZ.cu:65-115; our host-NumPy prepare is
@@ -381,7 +384,16 @@ def make_device_init(cfg: Config, layout: TileLayout):
     NumPy + GB-scale uploads to one jit call.
 
     ``beam_tab`` is (nbeams, 7) float: [c1, s1, c2, s2, bnx, bny, bnz]
-    (rotation trig + unit beam normal, precomputed on host — tiny)."""
+    (rotation trig + unit beam normal, precomputed on host — tiny).
+
+    The jitted wrapper is cached per (cfg, layout): a fresh ``jax.jit``
+    object gets a fresh trace+compile, and through the tunneled backend
+    that recompile costs seconds — it made the *second* (steady-state)
+    ``prepare_device`` nearly as slow as the first."""
+    key = (cfg, layout.rays_per_tile, layout.tiles_per_beam)
+    hit = _DEVICE_INIT_CACHE.get(key)
+    if hit is not None:
+        return hit
     rpz = cfg.rays_per_zone
     zones = cfg.zones_spanned
     tz = cfg.tile_zones
@@ -470,7 +482,9 @@ def make_device_init(cfg: Config, layout: TileLayout):
             uray_init=jnp.where(mask, uray, jnp.asarray(1, dtype)),
             cell=tuple(cell), alive=mask)
 
-    return jax.jit(init)
+    fn = jax.jit(init)
+    _DEVICE_INIT_CACHE[key] = fn
+    return fn
 
 
 def live_tile_ids(cfg: Config, layout: TileLayout) -> np.ndarray:

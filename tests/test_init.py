@@ -136,3 +136,21 @@ def test_device_init_matches_host_prepare(profiles):
     np.testing.assert_allclose(np.asarray(e_d), np.asarray(e_h),
                                rtol=1e-6, atol=1e-8 * float(
                                    np.asarray(e_h).max()))
+
+
+def test_device_init_fn_is_cached():
+    """make_device_init must return the SAME jitted callable for equal
+    (cfg, layout): a fresh jax.jit wrapper per call forces a re-trace and
+    (through the tunneled TPU backend) a multi-second remote re-compile on
+    every steady-state prepare_device — measured 9.3 s -> ~1.7 s."""
+    from cbet_raytracing_3d_tpu.models import raytracer as rt
+
+    cfg = Config(nbeams=2, rays_per_zone=2, nx=24, ny=24, nz=24)
+    lay = rt.build_tile_layout(cfg, with_slots=False)
+    fn1 = rt.make_device_init(cfg, lay)
+    fn2 = rt.make_device_init(cfg, rt.build_tile_layout(cfg, with_slots=False))
+    assert fn1 is fn2
+    # a different config must NOT hit the same cache entry
+    cfg2 = Config(nbeams=2, rays_per_zone=2, nx=26, ny=26, nz=26)
+    fn3 = rt.make_device_init(cfg2, rt.build_tile_layout(cfg2, with_slots=False))
+    assert fn3 is not fn1

@@ -36,6 +36,10 @@ import time
 import jax
 import numpy as np
 
+from cbet_raytracing_3d_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()   # reference analog: nvcc compiles once, at build
+
 from cbet_raytracing_3d_tpu import Config
 from cbet_raytracing_3d_tpu.models import raytracer as rt
 from cbet_raytracing_3d_tpu.parallel import sharding as sh

@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
+    # persistent executable cache across processes (reference analog: nvcc
+    # compiles once at build time, Makefile:11-12); env-gated, see module
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     if args.cmd == "run":
         res = run(cfg, with_cbet=args.cbet, verbose=not args.quiet,
                   profile_dir=args.profile_dir,

@@ -27,6 +27,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from cbet_raytracing_3d_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()   # Mosaic AOT segment compiles dominate the cold wall
 import dataclasses as dc  # noqa: E402
 
 from cbet_raytracing_3d_tpu import Config  # noqa: E402

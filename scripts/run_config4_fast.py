@@ -22,6 +22,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from cbet_raytracing_3d_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()   # Mosaic AOT segment compiles dominate the cold wall
 from cbet_raytracing_3d_tpu import Config                       # noqa: E402
 from cbet_raytracing_3d_tpu.models import (raytracer as rt,     # noqa: E402
                                            tileplan as tp)

@@ -12,8 +12,9 @@ from cbet_raytracing_3d_tpu.parallel.sharding import pad_rays
 
 
 def _setup(profiles, **kw):
+    kw.setdefault("dtype", "float64")
     cfg = Config(nbeams=2, rays_per_zone=1, nx=40, ny=40, nz=40,
-                 dtype="float64", tiles_per_block=2, **kw)
+                 tiles_per_block=2, **kw)
     ctx = rt.prepare(cfg, profiles)
     rpt = ctx.layout.rays_per_tile
     state0 = pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
@@ -86,3 +87,90 @@ def test_plan_cache_invariant_to_deposit_knobs(tmp_path, profiles):
 
     physics = _dc.replace(ctx, cfg=cfg.replace(stop_fraction=0.0))
     assert tp.scene_fingerprint(physics) != fp_base
+
+
+def test_hosted_plan_matches_in_jit_plan(profiles):
+    """measure_plan(hosted=True) — one jit call per chunk, the config-4
+    dispatch mode (the tunneled worker kills multi-minute single
+    executions) — must produce the identical liveness matrix."""
+    cfg, ctx, rpt, state0 = _setup(profiles)
+    plan = tp.measure_plan(cfg, ctx, state0)
+    plan_h = tp.measure_plan(cfg, ctx, state0, hosted=True)
+    assert plan_h.chunk_steps == plan.chunk_steps
+    np.testing.assert_array_equal(plan_h.chunk_live, plan.chunk_live)
+
+
+def test_build_segments_min_tiles_floor(profiles):
+    """min_tiles stops splitting (each extra segment costs a multi-minute
+    Mosaic recompile through the tunnel at config-4 scale): no segment
+    after the first may hold fewer REAL tiles than the floor."""
+    cfg, ctx, rpt, state0 = _setup(profiles)
+    plan = tp.measure_plan(cfg, ctx, state0)
+    base = tp.build_segments(plan, cfg, cfg.nt)
+    assert len(base) > 1
+    floor = max(int(s.valid.sum()) for s in base[1:]) + 1
+    capped = tp.build_segments(plan, cfg, cfg.nt, min_tiles=floor)
+    assert len(capped) < len(base)
+    for s in capped[1:]:
+        assert int(s.valid.sum()) >= floor
+    # total steps preserved either way
+    want = sum(len(c) and sum(c) for c in
+               [s.chunk_lengths for s in base])
+    got = sum(sum(s.chunk_lengths) for s in capped)
+    assert got == want == cfg.nt
+
+
+def test_host_orchestrated_chunk_loop_matches_segmented_trace(profiles):
+    """The config-4 composition (scripts/run_config4_fast.py): host-
+    dispatched make_chunk_delta_fn chunks + segment_gather_rows transitions
+    + pairwise f32 master must reproduce the one-jit segmented trace."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, ctx, rpt, state0 = _setup(profiles, dtype="float32")
+    plan = tp.measure_plan(cfg, ctx, state0)
+    segments = tp.build_segments(plan, cfg, cfg.nt)
+    assert len(segments) > 1
+
+    ref_fn = jax.jit(rt.make_segmented_trace_fn(cfg, rpt, segments,
+                                                backend="scatter"))
+    edep_ref, _, of_ref = ref_fn(ctx.field4, state0)
+    assert int(of_ref) == 0
+
+    shape3, finalize = rt.trace_shapes(cfg, backend="scatter")
+    chunk_fn = jax.jit(rt.make_chunk_delta_fn(cfg, rpt, backend="scatter"))
+    state = state0
+    oflow = jnp.int32(0)
+    slots_acc = {}
+
+    def acc_push(delta):
+        lvl = 0
+        while lvl in slots_acc:
+            delta = slots_acc.pop(lvl) + delta
+            lvl += 1
+        slots_acc[lvl] = delta
+
+    for si, seg in enumerate(segments):
+        if si > 0:
+            prev = segments[si - 1]
+            pos = tp.segment_gather_rows(prev, seg,
+                                         int(prev.tiles.max()) + 1)
+            t_prev = len(prev.tiles)
+            val = jnp.asarray(np.repeat(seg.valid, rpt))
+            state = jax.tree_util.tree_map(
+                lambda a: a.reshape(t_prev, rpt)[jnp.asarray(pos)]
+                .reshape(-1), state)
+            state = dataclasses.replace(state, alive=state.alive & val)
+        for steps in seg.chunk_lengths:
+            state, delta, oflow = chunk_fn(ctx.field4, state, oflow,
+                                           jnp.int32(steps))
+            acc_push(delta)
+    assert int(oflow) == 0
+    master = None
+    for g in slots_acc.values():
+        master = g if master is None else master + g
+    edep = np.asarray(finalize(master), np.float64)
+    ref = np.asarray(edep_ref, np.float64)
+    rel = np.linalg.norm(edep - ref) / np.linalg.norm(ref)
+    assert rel < 1e-6, rel

@@ -391,7 +391,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         assert len(seg_tpgs) == len(segments)
         assert sum(len(s.chunk_lengths) for s in segments) == n_chunks
         dep_sets = [_deposit_set(t) for t in seg_tpgs]
-        from .tileplan import segment_gather_rows
+        from .tileplan import origin_slots, segment_gather_rows
         T_all = int(segments[0].tiles.max()) + 1
         gathers = []
         for prev, seg in zip(segments[:-1], segments[1:]):
@@ -401,12 +401,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         # per-segment slot origins in segment-0 slot space for the final-
         # state write-back (invalid rows land past the end -> dropped)
         n0 = len(segments[0].tiles) * rpt
-        origins = []
-        for seg in segments:
-            o = np.where(seg.valid, seg.tiles, -1)
-            sl = o[:, None] * rpt + np.arange(rpt)[None, :]
-            sl[o < 0, :] = n0
-            origins.append(jnp.asarray(sl.reshape(-1)))
+        origins = [jnp.asarray(origin_slots(seg.tiles, seg.valid, rpt, n0))
+                   for seg in segments]
 
     def to_coarse(cell, frac):
         """Full-grid (cell, frac) -> coarse-grid (cell, frac): the position
@@ -794,9 +790,14 @@ _SOLVER_CACHE_MAX = 3
 
 def _get_solver(cfg: Config, ctx: rt.TraceContext, mesh,
                 backend: str | None, cache_dir: str | None) -> _CbetSolver:
+    # mesh keyed by CONTENT (device ids + topology), not id(): a dead
+    # mesh's id can be reused by a different one, silently resurrecting a
+    # solver jitted over the wrong placement
+    mesh_key = None if mesh is None else (
+        mesh.axis_names, mesh.devices.shape,
+        tuple(d.id for d in mesh.devices.flat))
     key = (cfg.replace(cbet_max_iters=1, cbet_tol=0.0, cbet_relax=0.5),
-           backend, cache_dir,
-           None if mesh is None else id(mesh))
+           backend, cache_dir, mesh_key)
     hit = _SOLVER_CACHE.get(key)
     if hit is not None and hit[0] is ctx:
         return hit[1]
@@ -850,6 +851,13 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         state0 = put_state(state0)
         bid = jnp.asarray(bid)
     segments = seg_tpgs = None
+    if cfg.cbet_segmented and n_dev > 1:
+        # make_cbet_trace_fn's segmented path is single-device; say so
+        # instead of silently running every mesh iteration uncompacted
+        import sys
+        print("warning: cbet_segmented requested but solve is on a "
+              f"{n_dev}-device mesh — falling back to the unsegmented "
+              "sharded CBET trace", file=sys.stderr)
     if cfg.cbet_segmented and n_dev == 1:
         from . import tileplan as tp
         # gain-proof plan: stop_fraction=0 makes liveness a superset of any

@@ -987,12 +987,9 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
 def segment_slot_origins(segments, rays_per_tile: int) -> np.ndarray:
     """Map the final segment's slots back to segment-0 slots (for stats):
     returns (n_final_slots,) int64, -1 for pad slots."""
+    from .tileplan import origin_slots
     last = segments[-1]
-    origin_tile = np.where(last.valid, last.tiles, -1)
-    out = (origin_tile[:, None] * rays_per_tile
-           + np.arange(rays_per_tile)[None, :])
-    out[origin_tile < 0] = -1
-    return out.reshape(-1)
+    return origin_slots(last.tiles, last.valid, rays_per_tile, drop_to=-1)
 
 
 def make_chunk_fn(cfg: Config, rays_per_tile: int, n_steps: int,

@@ -414,9 +414,19 @@ def build_beam_segments(plan: TilePlan, cfg: Config, nt: int, nbeams: int,
             for b in range(nbeams):
                 loc = np.nonzero(livb[c0, b])[0]
                 if len(loc) == 0:
-                    # keep one masked tile from the previous segment
+                    # beam fully dead: carry ONE tile from the previous
+                    # segment's slot 0 and keep it VALID.  Slot 0 is valid
+                    # in every segment by induction (live beams put their
+                    # first live tile there; dead beams this same carried
+                    # tile), which is what segment_gather_rows' nested-
+                    # subset invariant requires — an all-invalid block made
+                    # the NEXT dead segment's pads reference a tile with no
+                    # valid row in prev and tripped its assert.  Cost: one
+                    # dead tile traced per dead beam (its rays deposit
+                    # nothing).
                     loc = prev_per_beam[b][:1]
                     v = np.zeros(w, bool)
+                    v[0] = True
                     per_beam.append(np.full(w, loc[0], np.int64))
                     valid_b.append(v)
                     continue
@@ -434,6 +444,20 @@ def build_beam_segments(plan: TilePlan, cfg: Config, nt: int, nbeams: int,
                                 tiles=tiles, valid=valid))
         tpgs.append(w)
     return segments, tpgs
+
+
+def origin_slots(tiles: np.ndarray, valid: np.ndarray, rays_per_tile: int,
+                 drop_to: int) -> np.ndarray:
+    """Per-slot write-back origins in segment-0 slot space: valid tile t
+    owns rows ``t*rpt .. t*rpt+rpt-1``; pad-duplicate (invalid) tiles map
+    every row to ``drop_to`` — an out-of-range index for
+    ``.at[...].set(mode="drop")`` write-backs, or -1 as a host-side
+    sentinel.  ``tiles``/``valid`` may be (T,) or device-batched (D, T);
+    the result flattens the trailing (T, rpt) to (..., T*rpt)."""
+    o = np.where(valid, tiles, -1)
+    slots = o[..., :, None] * rays_per_tile + np.arange(rays_per_tile)
+    slots[o < 0, :] = drop_to
+    return slots.reshape(*o.shape[:-1], -1)
 
 
 def segment_gather_rows(prev: Segment, seg: Segment, T: int) -> np.ndarray:

@@ -143,15 +143,12 @@ def make_sharded_segmented_trace_fn(cfg: Config, mesh: Mesh,
         # space; pad-duplicate rows write to index n0_local and are
         # dropped by the scatter (mode="drop")
         n0_local = widths[0] * rpt
-        origin_args = []
-        for si in range(n_seg):
-            tl = np.asarray(dev_segments.tiles_local[si])     # (D, T_s)
-            o = np.where(dev_segments.valid[si], tl, -1)
-            slots = (o[:, :, None] * rpt
-                     + np.arange(rpt)[None, None, :])         # (D, T_s, rpt)
-            slots[o < 0, :] = n0_local
-            origin_args.append(_jnp.asarray(
-                slots.reshape(tl.shape[0], -1)))              # (D, T_s*rpt)
+        from ..models.tileplan import origin_slots
+        origin_args = [
+            _jnp.asarray(origin_slots(                        # (D, T_s*rpt)
+                np.asarray(dev_segments.tiles_local[si]),
+                dev_segments.valid[si], rpt, n0_local))
+            for si in range(n_seg)]
 
     def local_trace(field4, state0, valid0_l, origins, *gathers):
         compute_dtype = state0.uray.dtype

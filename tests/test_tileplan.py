@@ -174,3 +174,28 @@ def test_host_orchestrated_chunk_loop_matches_segmented_trace(profiles):
     ref = np.asarray(edep_ref, np.float64)
     rel = np.linalg.norm(edep - ref) / np.linalg.norm(ref)
     assert rel < 1e-6, rel
+
+
+def test_beam_segments_survive_consecutive_dead_beams():
+    """A beam dead across >=2 consecutive segment boundaries: its carried
+    pad tile must stay VALID in each segment (slot 0), or the next dead
+    segment's pads reference a tile with no valid row in the previous one
+    and segment_gather_rows' nested-subset assert fires (found by review;
+    synthetic repro — a beam exiting the box early at CBET-segment scale)."""
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 tiles_per_block=2)
+    tpb = 8
+    live = np.zeros((3, 2 * tpb), bool)
+    live[0, :] = True            # both beams live
+    live[1, 0:4] = True          # beam0 shrinks; beam1 fully dead
+    live[2, 0:2] = True          # beam0 shrinks again; beam1 still dead
+    plan = tp.TilePlan(chunk_steps=10, chunk_live=live)
+    segs, tpgs = tp.build_beam_segments(plan, cfg, nt=30, nbeams=2)
+    assert tpgs == [8, 4, 2] and len(segs) == 3
+    for prev, seg in zip(segs, segs[1:]):
+        # must not raise, and every row index must land on a valid prev row
+        pos = tp.segment_gather_rows(prev, seg, int(prev.tiles.max()) + 1)
+        assert (prev.valid[pos] | ~seg.valid).all()
+        # dead beam keeps exactly one valid (dead) tile per segment
+        half = len(seg.valid) // 2
+        assert seg.valid[half:].sum() == 1

@@ -625,10 +625,10 @@ def make_tile_deposit_hbm(nx: int, ny: int, nz: int, rays_per_tile: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, bx * byk), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],

@@ -249,3 +249,30 @@ def test_run_multidevice_segmented_matches_plain(tmp_path):
             key, seg.stats[key], plain.stats[key])
     np.testing.assert_allclose(seg.stats["energy_absorbed"],
                                plain.stats["energy_absorbed"], rtol=1e-12)
+
+
+def test_write_outputs_with_cbet(tmp_path):
+    """A CBET run's outputs: npz extras, the json "cbet" section, and the
+    *_cbet.txt sibling dump (runner.write_outputs cbet branches)."""
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=32, ny=32, nz=32,
+                 dtype="float64", cbet_max_iters=3, cbet_tol=1e-2)
+    res = run(cfg, with_cbet=True, verbose=False)
+    paths = write_outputs(res, str(tmp_path), ("npz", "json", "txt"))
+    assert all(os.path.exists(p) for p in paths)
+
+    npz = np.load(os.path.join(tmp_path, "edep.npz"))
+    assert npz["cbet_edep"].shape == res.edep.shape
+    assert npz["cbet_intensity"].shape == (2, 32, 32, 32)
+    assert int(npz["cbet_iterations"]) == res.cbet.iterations
+    assert npz["cbet_history"].shape == (len(res.cbet.history),)
+
+    meta = json.load(open(os.path.join(tmp_path, "edep.json")))
+    assert meta["cbet"]["iterations"] == res.cbet.iterations
+    np.testing.assert_allclose(meta["cbet"]["edep_total"],
+                               float(res.cbet.edep.sum()), rtol=1e-12)
+
+    side = os.path.join(tmp_path, "edep_cbet.txt")
+    assert os.path.exists(side)
+    # the sibling dump is the CBET-coupled grid, not the uncoupled one
+    from cbet_raytracing_3d_tpu.utils.output import dump_print_format
+    assert open(side).read() == dump_print_format(np.asarray(res.cbet.edep))

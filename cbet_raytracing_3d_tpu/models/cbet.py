@@ -253,6 +253,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        tiles_per_group: int | None = None,
                        kernel_precise: bool = False,
                        segments=None, seg_tpgs=None,
+                       n_local_beams: int | None = None,
                        _ablate: str = ""):
     """Gain-aware trace builder; ``make()`` returns
     ``(field4, gain (B,P), bid (N,), state0) -> (edep, intensity (B,P),
@@ -263,6 +264,19 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     per-beam intensity accumulation (trilinear deposit of ``uray*|v|/c`` —
     the crossing-record analog) via the grouped Pallas kernel (one grid per
     beam) or an offset scatter.
+
+    ``n_local_beams`` builds the BEAM-SHARDED variant for use inside a
+    ``shard_map`` shard that owns that many whole contiguous beams (the
+    beam-contiguous slot layout shards into whole beams whenever the device
+    count divides ``nbeams`` — see ``_build_solver``): the grouped Pallas
+    intensity kernel runs per shard with ``n_local_beams`` groups and the
+    returned intensity has ``n_local_beams`` rows (globally: the (B, P)
+    fields sharded along the beam axis, each beam's field computed wholly
+    on its own device — no psum).  Gain lookups stay global: ``bid``
+    carries global beam ids into the replicated (B, P) gain table.  This
+    is what keeps multi-chip CBET on the fast grouped kernel instead of
+    the ~16x-slower per-shard offset scatter (the reference's multi-GPU
+    analog splits beams across devices the same way, main.cu:133-210).
 
     ``segments``/``seg_tpgs`` (from tileplan.build_beam_segments) enable
     static mid-trace tile compaction: the ray state, beam ids, and the
@@ -289,9 +303,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     from ..ops.pallas_deposit import (edep_zpad_shape, finalize_edep,
                                       make_tile_deposit)
 
-    # grouped Pallas intensity deposit requires globally beam-contiguous tile
-    # indices, which per-shard grids can't see — sharded solves use the
-    # beam-offset scatter instead (see cbet_solve).  Under the HBM-grid
+    # grouped Pallas intensity deposit requires beam-contiguous tile indices
+    # within the shard.  Single device always has them; a mesh shard has
+    # them iff it owns whole beams (n_local_beams — see docstring), else the
+    # solve falls back to the beam-offset scatter.  Under the HBM-grid
     # (high-res) edep backend, the grouped VMEM kernel still carries the
     # INTENSITY fields whenever the (possibly coarsened) CBET grid fits a
     # VMEM block (hz+2 <= 128 lanes): at BASELINE config 4,
@@ -301,6 +316,22 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     grouped_pallas = (pallas and not intensity_scatter
                       and (not backend.startswith("pallas_hbm")
                            or hz + 2 <= _ZL))
+    # beams this trace owns (and rows of its intensity output): nbeams,
+    # or the per-shard count in the beam-sharded variant
+    nb_g = nb if n_local_beams is None else n_local_beams
+    if n_local_beams is not None:
+        if intensity_scatter:
+            raise ValueError("n_local_beams is the grouped-kernel beam "
+                             "sharding; it contradicts intensity_scatter")
+        if not grouped_pallas:
+            raise ValueError(
+                "n_local_beams (beam-sharded intensity) requires the "
+                f"grouped Pallas intensity path; backend={backend!r} with "
+                f"CBET grid z extent {hz + 2} lanes does not support it")
+        if segments is not None:
+            raise ValueError("segmented CBET traces are single-device only")
+        if cfg.cbet_gain_mode == "kernel":
+            raise ValueError("cbet_gain_mode='kernel' is single-device only")
     tpg = (tiles_per_group if tiles_per_group is not None
            else ctx.layout.tiles_per_beam)
     rpt = ctx.layout.rays_per_tile
@@ -376,7 +407,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         if grouped_pallas:
             ideposit_s = make_tile_deposit(
                 hx, hy, hz, rpt * batch, box=ibox,
-                tiles_per_block=cfg.tiles_per_block, n_groups=nb,
+                tiles_per_block=cfg.tiles_per_block, n_groups=nb_g,
                 tiles_per_group=tpg_s,
                 interpret=backend.endswith("_interpret"),
                 precise=kernel_precise)
@@ -417,7 +448,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     def make():
         shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
                   else cfg.edep_shape)
-        ishape = ((nb,) + edep_zpad_shape(hx, hy, hz) if grouped_pallas
+        ishape = ((nb_g,) + edep_zpad_shape(hx, hy, hz) if grouped_pallas
                   else (nb, hx + 2, hy + 2, hz + 2))
 
         # bid is a (sharded) argument: per-slot beam ids travel with the rays
@@ -484,7 +515,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     # >half the CBET effect on the two-beam validation scene
                     cx, cy, cz = state.cell
                     flat = (cx * ny + cy) * nz + cz
-                    if cfg.cbet_gain_sliced and not intensity_scatter:
+                    if (cfg.cbet_gain_sliced and not intensity_scatter
+                            and n_local_beams is None):
                         # per-beam-sliced gathers (identical values): each
                         # beam's contiguous slot block reads its own 4 MB
                         # gain row — big-table latency is the dominant
@@ -749,7 +781,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             if grouped_pallas:
                 ibeams = finalize_edep(ibeams, hy, hz)
             # crop ghosts -> per-beam node fields (B, Ph) on the CBET grid
-            inodes = ibeams[:, 1:-1, 1:-1, 1:hz + 1].reshape(nb, hx * hy * hz)
+            inodes = ibeams[:, 1:-1, 1:-1, 1:hz + 1].reshape(nb_g,
+                                                             hx * hy * hz)
             if segments is not None:
                 return edep, inodes, state, oflow, dropped
             return edep, inodes, state, oflow
@@ -782,6 +815,10 @@ class _CbetSolver:
     state0: rt.RayState
     bid: jnp.ndarray
     zero_gain: jnp.ndarray
+    # how per-beam intensity is accumulated: "grouped" (single-device
+    # grouped Pallas kernel), "beam_sharded" (grouped kernel per shard,
+    # whole beams per device), or "scatter" (beam-offset scatter fallback)
+    intensity_mode: str = "grouped"
 
 
 _SOLVER_CACHE: dict = {}
@@ -867,23 +904,63 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         plan = tp.get_or_measure_plan(plan_cfg, ctx, state0, cache_dir)
         segments, seg_tpgs = tp.build_beam_segments(plan, cfg, cfg.nt,
                                                     cfg.nbeams)
+    # Beam-sharded grouped intensity on a mesh: when every shard owns whole
+    # contiguous beams, the grouped Pallas kernel runs per shard (the
+    # ~16x-slower offset-scatter fallback is only needed when beams
+    # straddle shards).  Conditions, all checked on the host layout:
+    # device count divides nbeams; the per-beam block width is a
+    # tiles_per_block multiple (kernel grid constraint); no padding slots
+    # beyond the uniform nbeams*tpg*rpt layout (pad would shift shard
+    # boundaries off beam boundaries); a grouped-capable backend.
+    n_local = None
+    if n_dev > 1 and cfg.cbet_gain_mode != "kernel":
+        rb = backend if backend is not None else \
+            rt.resolve_deposit_backend(cfg)
+        from ..ops.pallas_deposit import ZLANES as _ZL
+        hz = cfg.cbet_grid_shape[2]
+        grouped_ok = (rb in rt.PALLAS_BACKENDS
+                      and (not rb.startswith("pallas_hbm")
+                           or hz + 2 <= _ZL))
+        n_slots = int(np.asarray(bid).shape[0])
+        beam_aligned = (cfg.nbeams % n_dev == 0
+                        and tpg % cfg.tiles_per_block == 0
+                        and n_slots == cfg.nbeams * tpg * rpt)
+        if beam_aligned:
+            # each shard's slots must be exactly its whole beams, in order
+            # (dead/pad slots carry bid 0 and deposit nothing — ignore them)
+            bid_b = np.asarray(bid).reshape(cfg.nbeams, tpg * rpt)
+            alive_b = np.asarray(state0.alive).reshape(cfg.nbeams,
+                                                       tpg * rpt)
+            expect = np.arange(cfg.nbeams, dtype=bid_b.dtype)[:, None]
+            beam_aligned = bool(((bid_b == expect) | ~alive_b).all())
+        if grouped_ok and beam_aligned:
+            n_local = cfg.nbeams // n_dev
     trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
-                                     intensity_scatter=n_dev > 1,
+                                     intensity_scatter=(n_dev > 1
+                                                        and n_local is None),
                                      tiles_per_group=tpg,
-                                     segments=segments, seg_tpgs=seg_tpgs)
+                                     segments=segments, seg_tpgs=seg_tpgs,
+                                     n_local_beams=n_local)
     local = trace_maker()
     if n_dev > 1:
         from jax.sharding import PartitionSpec as Pspec
 
         def sharded(field4, gain, bid_, st):
             edep, inodes, st2, of = local(field4, gain, bid_, st)
-            return (jax.lax.psum(edep, AXIS), jax.lax.psum(inodes, AXIS),
+            if n_local is None:
+                # per-shard full-(B,P) scatter grids -> sum over shards
+                inodes = jax.lax.psum(inodes, AXIS)
+            # else: each shard computed its own beams' whole fields; the
+            # (B, P) output is simply beam-sharded (out_specs below)
+            return (jax.lax.psum(edep, AXIS), inodes,
                     st2, jax.lax.psum(of, AXIS))
 
         trace_j = jax.jit(jax.shard_map(
             sharded, mesh=mesh,
             in_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec(AXIS)),
-            out_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec()),
+            out_specs=(Pspec(),
+                       Pspec() if n_local is None else Pspec(AXIS),
+                       Pspec(AXIS), Pspec()),
             check_vma=False))
     else:
         trace_j = jax.jit(local)
@@ -926,9 +1003,19 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         blended = relax * i_new + (1.0 - relax) * i_old
         return delta, scale, blended
 
+    if n_dev == 1:
+        rb1 = backend if backend is not None else \
+            rt.resolve_deposit_backend(cfg)
+        hz1 = cfg.cbet_grid_shape[2]
+        from ..ops.pallas_deposit import ZLANES as _ZL1
+        imode = ("grouped" if rb1 in rt.PALLAS_BACKENDS
+                 and (not rb1.startswith("pallas_hbm") or hz1 + 2 <= _ZL1)
+                 else "scatter")
+    else:
+        imode = "beam_sharded" if n_local is not None else "scatter"
     return _CbetSolver(gain_fn=gain_fn, upsample=upsample, trace=trace,
                        step_update=_step_update, state0=state0, bid=bid,
-                       zero_gain=zero_gain)
+                       zero_gain=zero_gain, intensity_mode=imode)
 
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
@@ -937,9 +1024,15 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     """Fixed-point CBET solve (batched over beam pairs).
 
     With a multi-device ``mesh``, each iteration's trace is shard_mapped over
-    the ray axis with psum-reduced deposition/intensity grids (BASELINE
-    config 5 structure); per-beam intensity then uses the beam-offset scatter
-    path (per-shard grouped grids can't see global beam boundaries).
+    the ray axis with a psum-reduced deposition grid (BASELINE config 5
+    structure).  Per-beam intensity stays on the fast grouped Pallas kernel
+    whenever every shard owns whole beams (device count divides ``nbeams``
+    in the uniform beam-contiguous layout): each shard computes its own
+    beams' complete fields and the (B, P) intensity comes back sharded
+    along the beam axis — no psum, and the all-to-all beam coupling happens
+    once per iteration in the gain reduction instead.  Otherwise the
+    per-shard beam-offset scatter fallback is used (grouped grids can't see
+    beams that straddle shards).
 
     ``cfg.cbet_segmented`` (single-device): each iteration's trace runs
     statically compacted on a gain-proof tile plan (measured with

@@ -400,9 +400,11 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
     def deposit(edep, cx, cy, cz, fx, fy, fz, inc):
         n_tiles = cx.shape[0] // r
         assert n_tiles % tb == 0, (n_tiles, tb)
-        tpg = tiles_per_group if n_groups > 1 else n_tiles
+        # grouping is signalled by tiles_per_group (a beam-sharded caller
+        # legitimately has n_groups == 1: one whole beam per shard)
+        grouped = tiles_per_group is not None
+        tpg = tiles_per_group if grouped else n_tiles
         assert tpg % tb == 0, (tpg, tb)
-        grouped = n_groups > 1
         gshape = ((n_groups, nxp, yp, ZLANES) if grouped
                   else (nxp, yp, ZLANES))
         assert edep.shape == gshape, (edep.shape, gshape)

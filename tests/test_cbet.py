@@ -278,13 +278,14 @@ def test_cbet_downsampled_grid_converges_near_full_res(two_beam_cfg,
     assert rel < 0.6 * effect, (rel, effect)
 
 
-def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
-    """A mesh CBET solve with the Pallas base deposit: per-shard grids can't
-    see global beam grouping, so the solver must switch the intensity
-    accumulation to the beam-offset scatter while keeping the Pallas edep
-    kernel — and still reproduce the single-device (grouped-kernel) fixed
-    point."""
+def test_cbet_mesh_beam_sharded_grouped_intensity(two_beam_cfg, profiles):
+    """A mesh CBET solve with the Pallas base deposit where the device count
+    divides nbeams: every shard owns whole beams, so the solver keeps the
+    fast grouped intensity kernel per shard (one whole beam each here) and
+    returns the intensity beam-sharded — and must reproduce the
+    single-device (grouped-kernel) fixed point."""
     import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
     from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
 
     cfg = two_beam_cfg.replace(cbet_max_iters=2, dtype="float32",
@@ -293,6 +294,35 @@ def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
     res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")      # grouped
     mesh = make_mesh(jax.devices()[:2])
     res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    assert _get_solver(cfg, ctx, mesh, "pallas_interpret",
+                       None).intensity_mode == "beam_sharded"
+    # identical kernel, different partitioning: only f32 summation order
+    # (and the replicated-gain all-gather) may differ; agree tightly
+    rel = (np.linalg.norm(res2.intensity - res1.intensity)
+           / np.linalg.norm(res1.intensity))
+    assert rel < 2e-3, rel
+    rel_e = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel_e < 2e-3, rel_e
+
+
+def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
+    """A mesh CBET solve where beams DO straddle shards (2 beams on 4
+    devices): per-shard grids can't see global beam grouping, so the solver
+    must switch the intensity accumulation to the beam-offset scatter while
+    keeping the Pallas edep kernel — and still reproduce the single-device
+    (grouped-kernel) fixed point."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = two_beam_cfg.replace(cbet_max_iters=2, dtype="float32",
+                               tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")      # grouped
+    mesh = make_mesh(jax.devices()[:4])
+    res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    assert _get_solver(cfg, ctx, mesh, "pallas_interpret",
+                       None).intensity_mode == "scatter"
     # bf16 kernel weights differ between the grouped kernel and the offset
     # scatter only through f32 summation order; fields must agree tightly
     rel = (np.linalg.norm(res2.intensity - res1.intensity)

@@ -305,6 +305,30 @@ def test_cbet_mesh_beam_sharded_grouped_intensity(two_beam_cfg, profiles):
     assert rel_e < 2e-3, rel_e
 
 
+def test_cbet_mesh_beam_sharded_multiple_groups_per_shard(profiles):
+    """Beam-sharded intensity with n_local_beams > 1 (4 beams on 2 devices):
+    the per-shard grouped kernel carries two group grids and the sharded
+    fixed point matches the single-device grouped one."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 cbet_max_iters=2, cbet_tol=1e-3, dtype="float32",
+                 tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")
+    mesh = make_mesh(jax.devices()[:2])
+    res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    assert _get_solver(cfg, ctx, mesh, "pallas_interpret",
+                       None).intensity_mode == "beam_sharded"
+    rel = (np.linalg.norm(res2.intensity - res1.intensity)
+           / np.linalg.norm(res1.intensity))
+    assert rel < 2e-3, rel
+    rel_e = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel_e < 2e-3, rel_e
+
+
 def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
     """A mesh CBET solve where beams DO straddle shards (2 beams on 4
     devices): per-shard grids can't see global beam grouping, so the solver

@@ -857,23 +857,68 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     if ctx.compact:
         # prepare_device contexts are born in exactly the per-beam
         # block-padded live-tile layout this solve needs — no reselection
-        # (mesh solves just pad the slot axis to the device multiple)
-        state0 = pad_rays(ctx.state0, n_dev * rpt * cfg.tiles_per_block)
-        bid_np = np.maximum(np.asarray(ctx.beam_id), 0).astype(np.int32)
-        bid = np.pad(bid_np, (0, state0.n - bid_np.shape[0]))
+        state_raw = ctx.state0
+        bid_raw = np.maximum(np.asarray(ctx.beam_id), 0).astype(np.int32)
         tpg = (ctx.state0.n // rpt) // cfg.nbeams
     else:
         # trace only launched tiles (~24% fewer slots on the OMEGA scene),
         # per-beam block-padded so the grouped intensity kernel keeps
         # uniform beam groups
         slots = live_tile_slots(cfg, ctx)
-        state0 = pad_rays(rt.select_rays(ctx.state0, slots),
-                          n_dev * rpt * cfg.tiles_per_block)
+        state_raw = rt.select_rays(ctx.state0, slots)
         tpg = (len(slots) // rpt) // cfg.nbeams
         # per-slot beam ids (padding slots get 0 but are permanently dead)
-        bid_np = np.maximum(np.asarray(ctx.beam_id)[slots],
-                            0).astype(np.int32)
-        bid = np.pad(bid_np, (0, state0.n - bid_np.shape[0]))
+        bid_raw = np.maximum(np.asarray(ctx.beam_id)[slots],
+                             0).astype(np.int32)
+
+    # Beam-sharded grouped intensity on a mesh: when every shard owns whole
+    # contiguous beams, the grouped Pallas kernel runs per shard (the
+    # ~16x-slower offset-scatter fallback is only needed when beams
+    # straddle shards).  The uniform beam-contiguous layout
+    # (nbeams x tpg x rpt) shards into whole beams whenever the device
+    # count divides the beam count — and when it does NOT (OMEGA's 60
+    # beams on an 8-chip slice), PHANTOM beams (all-dead slot blocks,
+    # bid 0, deposit nothing) pad the beam axis up to the next multiple:
+    # a few percent of dead rows instead of the 16x scatter fallback.
+    # The trace wrapper crops the phantom rows off the intensity output.
+    n_local = None
+    nb_pad = cfg.nbeams
+    if n_dev > 1 and cfg.cbet_gain_mode != "kernel":
+        rb = backend if backend is not None else \
+            rt.resolve_deposit_backend(cfg)
+        from ..ops.pallas_deposit import ZLANES as _ZL
+        hz = cfg.cbet_grid_shape[2]
+        grouped_ok = (rb in rt.PALLAS_BACKENDS
+                      and (not rb.startswith("pallas_hbm")
+                           or hz + 2 <= _ZL))
+        beam_aligned = (tpg % cfg.tiles_per_block == 0
+                        and state_raw.n == cfg.nbeams * tpg * rpt
+                        and bid_raw.shape[0] == state_raw.n)
+        if beam_aligned:
+            # each beam's block must hold only its own (or dead/pad) slots
+            bid_b = bid_raw.reshape(cfg.nbeams, tpg * rpt)
+            alive_b = np.asarray(state_raw.alive).reshape(cfg.nbeams,
+                                                          tpg * rpt)
+            expect = np.arange(cfg.nbeams, dtype=bid_b.dtype)[:, None]
+            beam_aligned = bool(((bid_b == expect) | ~alive_b).all())
+        if grouped_ok and beam_aligned:
+            cand = cfg.nbeams + (-cfg.nbeams) % n_dev
+            # phantom rows are traced (dead) work spread over all shards:
+            # worth it only while the pad fraction stays well under the
+            # ~16x intensity-scatter penalty it avoids.  25% admits the
+            # production shapes (OMEGA 60 -> 64 on an 8/16/32-chip slice
+            # = 6.7%) and rejects degenerate ones (2 -> 4 beams = 100%).
+            if (cand - cfg.nbeams) / cfg.nbeams <= 0.25:
+                nb_pad = cand
+                n_local = nb_pad // n_dev
+
+    if n_local is not None:
+        # exact per-beam layout (+ whole phantom-beam blocks if needed);
+        # already a multiple of n_dev*rpt*tiles_per_block by construction
+        state0 = pad_rays(state_raw, nb_pad * tpg * rpt)
+    else:
+        state0 = pad_rays(state_raw, n_dev * rpt * cfg.tiles_per_block)
+    bid = np.pad(bid_raw, (0, state0.n - bid_raw.shape[0]))
     # commit the per-ray arrays ONCE, in the layout the per-iteration jitted
     # trace consumes: single-device -> resident on the default device; mesh
     # -> sharded along the ray axis so every fixed-point iteration reuses
@@ -904,37 +949,6 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         plan = tp.get_or_measure_plan(plan_cfg, ctx, state0, cache_dir)
         segments, seg_tpgs = tp.build_beam_segments(plan, cfg, cfg.nt,
                                                     cfg.nbeams)
-    # Beam-sharded grouped intensity on a mesh: when every shard owns whole
-    # contiguous beams, the grouped Pallas kernel runs per shard (the
-    # ~16x-slower offset-scatter fallback is only needed when beams
-    # straddle shards).  Conditions, all checked on the host layout:
-    # device count divides nbeams; the per-beam block width is a
-    # tiles_per_block multiple (kernel grid constraint); no padding slots
-    # beyond the uniform nbeams*tpg*rpt layout (pad would shift shard
-    # boundaries off beam boundaries); a grouped-capable backend.
-    n_local = None
-    if n_dev > 1 and cfg.cbet_gain_mode != "kernel":
-        rb = backend if backend is not None else \
-            rt.resolve_deposit_backend(cfg)
-        from ..ops.pallas_deposit import ZLANES as _ZL
-        hz = cfg.cbet_grid_shape[2]
-        grouped_ok = (rb in rt.PALLAS_BACKENDS
-                      and (not rb.startswith("pallas_hbm")
-                           or hz + 2 <= _ZL))
-        n_slots = int(np.asarray(bid).shape[0])
-        beam_aligned = (cfg.nbeams % n_dev == 0
-                        and tpg % cfg.tiles_per_block == 0
-                        and n_slots == cfg.nbeams * tpg * rpt)
-        if beam_aligned:
-            # each shard's slots must be exactly its whole beams, in order
-            # (dead/pad slots carry bid 0 and deposit nothing — ignore them)
-            bid_b = np.asarray(bid).reshape(cfg.nbeams, tpg * rpt)
-            alive_b = np.asarray(state0.alive).reshape(cfg.nbeams,
-                                                       tpg * rpt)
-            expect = np.arange(cfg.nbeams, dtype=bid_b.dtype)[:, None]
-            beam_aligned = bool(((bid_b == expect) | ~alive_b).all())
-        if grouped_ok and beam_aligned:
-            n_local = cfg.nbeams // n_dev
     trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
                                      intensity_scatter=(n_dev > 1
                                                         and n_local is None),
@@ -981,6 +995,10 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
             edep, inodes, st2, of = out
             of = int(jax.device_get(of))
         rt.check_overflow(of, cfg)
+        if nb_pad != cfg.nbeams:
+            # crop the phantom (all-dead padding) beams' zero rows off the
+            # beam-sharded intensity; edep/state are beam-agnostic
+            inodes = inodes[:cfg.nbeams]
         return edep, inodes, st2
 
     # the per-step lookup table is always full-resolution; coarse gain

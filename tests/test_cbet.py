@@ -329,12 +329,39 @@ def test_cbet_mesh_beam_sharded_multiple_groups_per_shard(profiles):
     assert rel_e < 2e-3, rel_e
 
 
+def test_cbet_mesh_phantom_beam_padding(profiles):
+    """Device counts that do NOT divide nbeams within the pad budget get
+    phantom (all-dead) beam blocks instead of the scatter fallback: 7 beams
+    on 8 devices pad to 8 (14% dead rows), the grouped kernel runs per
+    shard, and the phantom beam's zero intensity row is cropped off."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=7, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 cbet_max_iters=2, cbet_tol=1e-3, dtype="float32",
+                 tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")
+    mesh = make_mesh(jax.devices()[:8])
+    res8 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    solver = _get_solver(cfg, ctx, mesh, "pallas_interpret", None)
+    assert solver.intensity_mode == "beam_sharded"
+    assert solver.state0.alive.shape[0] % 8 == 0
+    assert res8.intensity.shape == (7, 24, 24, 24)
+    rel = (np.linalg.norm(res8.intensity - res1.intensity)
+           / np.linalg.norm(res1.intensity))
+    assert rel < 2e-3, rel
+    rel_e = np.linalg.norm(res8.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel_e < 2e-3, rel_e
+
+
 def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
-    """A mesh CBET solve where beams DO straddle shards (2 beams on 4
-    devices): per-shard grids can't see global beam grouping, so the solver
-    must switch the intensity accumulation to the beam-offset scatter while
-    keeping the Pallas edep kernel — and still reproduce the single-device
-    (grouped-kernel) fixed point."""
+    """A mesh CBET solve where beams straddle shards beyond the phantom-pad
+    budget (2 beams on 4 devices would need 100% dead-row padding): the
+    solver must switch the intensity accumulation to the beam-offset
+    scatter while keeping the Pallas edep kernel — and still reproduce the
+    single-device (grouped-kernel) fixed point."""
     import jax
     from cbet_raytracing_3d_tpu.models.cbet import _get_solver
     from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh

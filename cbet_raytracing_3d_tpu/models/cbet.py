@@ -515,26 +515,38 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     # >half the CBET effect on the two-beam validation scene
                     cx, cy, cz = state.cell
                     flat = (cx * ny + cy) * nz + cz
-                    if (cfg.cbet_gain_sliced and not intensity_scatter
-                            and n_local_beams is None):
+                    if cfg.cbet_gain_sliced and not intensity_scatter:
                         # per-beam-sliced gathers (identical values): each
                         # beam's contiguous slot block reads its own 4 MB
                         # gain row — big-table latency is the dominant
                         # lookup cost (Config.cbet_gain_sliced).  Measured
                         # on chip: exact 60-beam solve 181.3 -> 131.8 s.
+                        # Beam-sharded (n_local_beams): the shard's local
+                        # block b holds GLOBAL beam axis_index*n_local + b
+                        # — a dynamic row slice keeps the small-table rate.
                         W = tpg_s * rpt
-                        if nb * W != flat.shape[0]:
+                        if nb_g * W != flat.shape[0]:
                             raise ValueError(
                                 f"cbet_gain_sliced needs a beam-contiguous "
-                                f"layout of exactly nbeams*tiles_per_group*"
-                                f"rays_per_tile slots (= {nb}*{tpg_s}*{rpt}"
-                                f" = {nb * W}), got {flat.shape[0]} — pass "
-                                "the matching tiles_per_group or disable "
-                                "slicing")
+                                f"layout of exactly beams*tiles_per_group*"
+                                f"rays_per_tile slots (= {nb_g}*{tpg_s}*"
+                                f"{rpt} = {nb_g * W}), got {flat.shape[0]}"
+                                " — pass the matching tiles_per_group or "
+                                "disable slicing")
+                        if n_local_beams is None:
+                            rows = [gain[b] for b in range(nb_g)]
+                        else:
+                            from ..parallel.sharding import AXIS as _AX
+                            b0 = jax.lax.axis_index(_AX) * n_local_beams
+                            # phantom beams index past the (B, P) table and
+                            # clamp to the last row — harmless: all their
+                            # slots are dead, apply_gain masks them out
+                            rows = [jax.lax.dynamic_index_in_dim(
+                                        gain, b0 + b, 0, keepdims=False)
+                                    for b in range(nb_g)]
                         return jnp.concatenate([
-                            jnp.take(gain[b], flat[b * W:(b + 1) * W],
-                                     axis=0)
-                            for b in range(nb)])
+                            jnp.take(row, flat[b * W:(b + 1) * W], axis=0)
+                            for b, row in enumerate(rows)])
                     return jnp.take(gain_flat, bid_off + flat, axis=0)
 
                 def apply_gain(state, g=None):

@@ -247,6 +247,19 @@ def live_tile_slots(cfg: Config, ctx: rt.TraceContext) -> np.ndarray:
     return (tiles[:, None] * rpt + np.arange(rpt)[None, :]).reshape(-1)
 
 
+def _grouped_intensity_ok(cfg: Config, backend: str) -> bool:
+    """Whether the grouped Pallas intensity kernel can carry this config's
+    (possibly coarsened) CBET grid on this backend: any Pallas backend,
+    except that under the HBM-grid edep kernel the intensity grid must
+    itself fit a VMEM block (hz+2 z-lanes).  THE single predicate for
+    grouped capability — make_cbet_trace_fn, the beam-shard decision, and
+    the intensity_mode label must all use it so they cannot drift."""
+    from ..ops.pallas_deposit import ZLANES
+    hz = cfg.cbet_grid_shape[2]
+    return (backend in rt.PALLAS_BACKENDS
+            and (not backend.startswith("pallas_hbm") or hz + 2 <= ZLANES))
+
+
 def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        backend: str | None = None,
                        intensity_scatter: bool = False,
@@ -312,10 +325,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     # VMEM block (hz+2 <= 128 lanes): at BASELINE config 4,
     # cbet_grid_downsample=2 puts intensity back on a 100^3-class grid —
     # without this, high-res CBET silently fell to the ~16x-slower scatter.
-    from ..ops.pallas_deposit import ZLANES as _ZL
-    grouped_pallas = (pallas and not intensity_scatter
-                      and (not backend.startswith("pallas_hbm")
-                           or hz + 2 <= _ZL))
+    grouped_pallas = (not intensity_scatter
+                      and _grouped_intensity_ok(cfg, backend))
     # beams this trace owns (and rows of its intensity output): nbeams,
     # or the per-shard count in the beam-sharded variant
     nb_g = nb if n_local_beams is None else n_local_beams
@@ -359,9 +370,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     if cfg.cbet_gain_stride > 1 and batch <= 1:
         raise ValueError(
             "cbet_gain_stride > 1 requires the batched grouped deposit "
-            "path (Pallas backend, single device, deposit_batch_steps "
-            "dividing the chunk lengths) — this configuration would "
-            "silently run the exact per-step model instead")
+            "path (Pallas backend; single device or whole-beams-per-shard "
+            "mesh; deposit_batch_steps dividing the chunk lengths) — this "
+            "configuration would silently run the exact per-step model "
+            "instead")
     if kernel_gain:
         # the window-gain contraction's window IS the deposit batch
         if cfg.cbet_gain_stride != 1:
@@ -898,26 +910,26 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     if n_dev > 1 and cfg.cbet_gain_mode != "kernel":
         rb = backend if backend is not None else \
             rt.resolve_deposit_backend(cfg)
-        from ..ops.pallas_deposit import ZLANES as _ZL
-        hz = cfg.cbet_grid_shape[2]
-        grouped_ok = (rb in rt.PALLAS_BACKENDS
-                      and (not rb.startswith("pallas_hbm")
-                           or hz + 2 <= _ZL))
+        grouped_ok = _grouped_intensity_ok(cfg, rb)
         beam_aligned = (tpg % cfg.tiles_per_block == 0
                         and state_raw.n == cfg.nbeams * tpg * rpt
                         and bid_raw.shape[0] == state_raw.n)
         if beam_aligned:
-            # each beam's block must hold only its own (or dead/pad) slots
+            # each beam's block must hold only its own slots, except pad
+            # slots whose -1 beam id maps to 0 (bid_raw is host NumPy —
+            # no device fetch; pad slots are permanently dead, and a live
+            # bid-0 slot cannot sit outside beam 0's block by the layout
+            # construction both branches above guarantee)
             bid_b = bid_raw.reshape(cfg.nbeams, tpg * rpt)
-            alive_b = np.asarray(state_raw.alive).reshape(cfg.nbeams,
-                                                          tpg * rpt)
             expect = np.arange(cfg.nbeams, dtype=bid_b.dtype)[:, None]
-            beam_aligned = bool(((bid_b == expect) | ~alive_b).all())
+            beam_aligned = bool(((bid_b == expect) | (bid_b == 0)).all())
         if grouped_ok and beam_aligned:
             cand = cfg.nbeams + (-cfg.nbeams) % n_dev
-            # phantom rows are traced (dead) work spread over all shards:
-            # worth it only while the pad fraction stays well under the
-            # ~16x intensity-scatter penalty it avoids.  25% admits the
+            # phantom blocks sit at the END of the beam axis, so their
+            # cost is LOAD IMBALANCE, not extra flops: the trailing
+            # shard(s) own them (a fully-phantom shard idles through the
+            # all-dead chunk skip) and the busiest shard carries
+            # nb_pad/nbeams of the ideal split.  25% admits the
             # production shapes (OMEGA 60 -> 64 on an 8/16/32-chip slice
             # = 6.7%) and rejects degenerate ones (2 -> 4 beams = 100%).
             if (cand - cfg.nbeams) / cfg.nbeams <= 0.25:
@@ -1036,10 +1048,7 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     if n_dev == 1:
         rb1 = backend if backend is not None else \
             rt.resolve_deposit_backend(cfg)
-        hz1 = cfg.cbet_grid_shape[2]
-        from ..ops.pallas_deposit import ZLANES as _ZL1
-        imode = ("grouped" if rb1 in rt.PALLAS_BACKENDS
-                 and (not rb1.startswith("pallas_hbm") or hz1 + 2 <= _ZL1)
+        imode = ("grouped" if _grouped_intensity_ok(cfg, rb1)
                  else "scatter")
     else:
         imode = "beam_sharded" if n_local is not None else "scatter"

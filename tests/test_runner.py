@@ -276,3 +276,28 @@ def test_write_outputs_with_cbet(tmp_path):
     # the sibling dump is the CBET-coupled grid, not the uncoupled one
     from cbet_raytracing_3d_tpu.utils.output import dump_print_format
     assert open(side).read() == dump_print_format(np.asarray(res.cbet.edep))
+
+
+def test_run_cbet_cached_takes_segmented_fast_path(tmp_path):
+    """run(with_cbet=True, cache_dir=...) single-device routes the CBET
+    solve through the segmented (compacted) iteration traces — the same
+    fast path bench.py measures — with results identical to the plain
+    solve (the segmented trace is value-identical by construction)."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=32, ny=32, nz=32,
+                 dtype="float64", cbet_max_iters=3, cbet_tol=1e-2)
+    mesh1 = make_mesh(jax.devices()[:1])     # the single-chip production case
+    plain = run(cfg, with_cbet=True, verbose=False, mesh=mesh1)
+    cached = run(cfg, with_cbet=True, verbose=False, mesh=mesh1,
+                 cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_allclose(cached.cbet.edep, plain.cbet.edep,
+                               rtol=1e-12, atol=0)
+    assert cached.cbet.iterations == plain.cbet.iterations
+    # the segmented solver (not the plain one) must be what's cached
+    from cbet_raytracing_3d_tpu.models.cbet import _SOLVER_CACHE
+    keys = [k for k in _SOLVER_CACHE
+            if k[0] == cfg.replace(cbet_segmented=True, cbet_max_iters=1,
+                                   cbet_tol=0.0, cbet_relax=0.5)]
+    assert keys, "segmented CBET solver was not built by the cached run"

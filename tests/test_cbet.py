@@ -611,3 +611,21 @@ def test_cbet_high_res_hbm_grouped_intensity(profiles):
     assert rel_e < 2e-3, rel_e       # bf16 kernel weights, sparse sample
     assert rel_i < 2e-3, rel_i
     del mask
+
+
+def test_solver_cache_mesh_content_key(two_beam_cfg, profiles):
+    """The solver cache keys meshes by content (axis names, topology,
+    device ids), not id(): two equal meshes share one solver; a mesh over
+    different devices gets its own."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = two_beam_cfg.replace(cbet_max_iters=2, dtype="float64")
+    ctx = rt.prepare(cfg, profiles)
+    mesh_a = make_mesh(jax.devices()[:2])
+    mesh_b = make_mesh(jax.devices()[:2])      # same content (jax may intern)
+    s1 = _get_solver(cfg, ctx, mesh_a, "scatter", None)
+    assert _get_solver(cfg, ctx, mesh_b, "scatter", None) is s1
+    mesh_c = make_mesh(jax.devices()[2:4])     # different device ids
+    assert _get_solver(cfg, ctx, mesh_c, "scatter", None) is not s1

@@ -197,6 +197,7 @@ def main() -> int:
         out.update({
             "cbet_wallclock_seconds": round(t_cbet - t_cbet_fetch, 1),
             "cbet_result_fetch_seconds": round(t_cbet_fetch, 1),
+            "cbet_intensity_mode": res.stats.get("intensity_mode"),
             "cbet_iterations": res.iterations,
             "cbet_converged": bool(res.converged),
             "cbet_tol": cfg.cbet_tol,

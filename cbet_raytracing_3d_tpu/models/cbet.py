@@ -1129,6 +1129,7 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     inten_h = np.asarray(jax.device_get(intensity), np.float64).reshape(
         nb, hx, hy, hz)
     stats["result_fetch_seconds"] = round(_time.perf_counter() - _tf, 3)
+    stats["intensity_mode"] = solver.intensity_mode
     return CbetResult(
         edep=edep_h, intensity=inten_h,
         iterations=it, converged=converged, history=history, stats=stats)

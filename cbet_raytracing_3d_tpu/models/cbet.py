@@ -55,6 +55,14 @@ from .. import constants as k
 from ..config import Config
 from . import raytracer as rt
 
+# Stability clamp on the per-step gain exponent (only engages at transient
+# resonance hotspots during early fixed-point iterations; physical per-step
+# gains are O(1e-3..3e-2)).  THE single value for all three gain paths —
+# the lookup-mode apply_gain, the XLA window branch, and the Pallas
+# gain-window kernel — which must stay identical or the modes silently
+# compute different models and break their rel-L2 cross-validation.
+GAIN_CLIP = 0.1
+
 
 @dataclasses.dataclass
 class CbetResult:
@@ -235,13 +243,22 @@ def live_tile_slots(cfg: Config, ctx: rt.TraceContext) -> np.ndarray:
     mask = np.asarray(ctx.state0.alive)
     tile_live = mask.reshape(-1, rpt).any(axis=1).reshape(cfg.nbeams, tpb)
     counts = tile_live.sum(axis=1)
-    assert (counts == counts[0]).all(), counts
+    # RuntimeError, not assert: a violation silently corrupts the grouped
+    # kernel's positional beam attribution, and asserts vanish under -O
+    if not (counts == counts[0]).all():
+        raise RuntimeError(
+            f"per-beam live-tile counts differ ({counts.tolist()}) — the "
+            "beam-independent pupil assumption this layout relies on does "
+            "not hold for this scene")
     n_pad = -int(counts[0]) % cfg.tiles_per_block
     tiles = []
     for b in range(cfg.nbeams):
         live = np.nonzero(tile_live[b])[0]
         dead = np.nonzero(~tile_live[b])[0]
-        assert len(dead) >= n_pad, (len(dead), n_pad)
+        if len(dead) < n_pad:
+            raise RuntimeError(
+                f"beam {b} has {len(dead)} dead tiles, fewer than the "
+                f"{n_pad} needed to block-pad its group")
         tiles.append(b * tpb + np.concatenate([live, dead[:n_pad]]))
     tiles = np.concatenate(tiles)
     return (tiles[:, None] * rpt + np.arange(rpt)[None, :]).reshape(-1)
@@ -411,7 +428,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 edeposit_s = make_tile_deposit(
                     nx, ny, nz, rpt * batch, box=cfg.deposit_box,
                     tiles_per_block=cfg.tiles_per_block,
-                    gain_window=(nb, tpg_s, batch, 0.1),
+                    gain_window=(nb, tpg_s, batch, GAIN_CLIP),
                     interpret=backend.endswith("_interpret"),
                     precise=kernel_precise)
             elif pallas:
@@ -431,8 +448,16 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     else:
         if intensity_scatter:
             raise ValueError("segmented CBET traces are single-device only")
-        assert len(seg_tpgs) == len(segments)
-        assert sum(len(s.chunk_lengths) for s in segments) == n_chunks
+        if len(seg_tpgs) != len(segments):
+            raise ValueError(
+                f"segments/seg_tpgs length mismatch: {len(segments)} vs "
+                f"{len(seg_tpgs)}")
+        seg_chunks = sum(len(s.chunk_lengths) for s in segments)
+        if seg_chunks != n_chunks:
+            raise ValueError(
+                f"segment plan covers {seg_chunks} chunks but this config "
+                f"traces {n_chunks} (stale plan for a different nt/"
+                "chunk_steps?)")
         dep_sets = [_deposit_set(t) for t in seg_tpgs]
         from .tileplan import origin_slots, segment_gather_rows
         T_all = int(segments[0].tiles.max()) + 1
@@ -575,7 +600,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                         return state, ds
                     if g is None:
                         g = lookup_g(state)
-                    factor = jnp.exp(jnp.clip(g * ds, -0.1, 0.1))
+                    factor = jnp.exp(jnp.clip(g * ds, -GAIN_CLIP, GAIN_CLIP))
                     uray = jnp.where(state.alive, state.uray * factor,
                                      state.uray)
                     return dataclasses.replace(state, uray=uray), ds
@@ -622,7 +647,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                         jnp.tile(bid_off_pad, 8) + idx) * w
                         gs.append(vals.reshape(8, -1).sum(axis=0))
                     g = jnp.stack(gs)                   # (batch, N)
-                    gam = jnp.exp(jnp.clip(g * dsb, -0.1, 0.1))
+                    gam = jnp.exp(jnp.clip(g * dsb, -GAIN_CLIP, GAIN_CLIP))
                     gcum = jnp.cumprod(gam, axis=0)
                     inc_c = inc * gcum
                     grid_elems = (hx + 2) * (hy + 2) * (hz + 2)
@@ -838,7 +863,7 @@ class _CbetSolver:
     step_update: Any
     state0: rt.RayState
     bid: jnp.ndarray
-    zero_gain: jnp.ndarray
+    make_zero_gain: Any        # () -> (B, P) zeros; factory, not pinned HBM
     # how per-beam intensity is accumulated: "grouped" (single-device
     # grouped Pallas kernel), "beam_sharded" (grouped kernel per shard,
     # whole beams per device), or "scatter" (beam-offset scatter fallback)
@@ -859,11 +884,16 @@ def _get_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         tuple(d.id for d in mesh.devices.flat))
     key = (cfg.replace(cbet_max_iters=1, cbet_tol=0.0, cbet_relax=0.5),
            backend, cache_dir, mesh_key)
-    hit = _SOLVER_CACHE.get(key)
+    # LRU on the insertion-ordered dict: pop-and-reinsert on hit refreshes
+    # recency, and a same-key rebuild (new ctx) never evicts a different
+    # entry — a rebuilt solver costs tens of seconds, so evicting the
+    # most-recently-used one by FIFO would be expensive
+    hit = _SOLVER_CACHE.pop(key, None)
     if hit is not None and hit[0] is ctx:
+        _SOLVER_CACHE[key] = hit
         return hit[1]
     solver = _build_solver(cfg, ctx, mesh, backend, cache_dir)
-    if len(_SOLVER_CACHE) >= _SOLVER_CACHE_MAX:
+    while len(_SOLVER_CACHE) >= _SOLVER_CACHE_MAX:
         _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
     _SOLVER_CACHE[key] = (ctx, solver)
     return solver
@@ -878,6 +908,9 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     rpt = ctx.layout.rays_per_tile
     from ..parallel.sharding import AXIS, pad_rays, put_state
     n_dev = 1 if mesh is None else int(_math.prod(mesh.devices.shape))
+    # resolved ONCE: the beam-shard decision and the intensity_mode label
+    # below must see the same backend make_cbet_trace_fn will resolve
+    rb = backend if backend is not None else rt.resolve_deposit_backend(cfg)
     if ctx.compact:
         # prepare_device contexts are born in exactly the per-beam
         # block-padded live-tile layout this solve needs — no reselection
@@ -908,8 +941,6 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     n_local = None
     nb_pad = cfg.nbeams
     if n_dev > 1 and cfg.cbet_gain_mode != "kernel":
-        rb = backend if backend is not None else \
-            rt.resolve_deposit_backend(cfg)
         grouped_ok = _grouped_intensity_ok(cfg, rb)
         beam_aligned = (tpg % cfg.tiles_per_block == 0
                         and state_raw.n == cfg.nbeams * tpg * rpt
@@ -1028,9 +1059,14 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     # the per-step lookup table is always full-resolution; coarse gain
     # fields (cbet_grid_downsample > 1) are trilinearly upsampled once per
     # iteration (cheap) rather than sampled at coarse nodes per step
-    # (measured to distort the coupled edep by >half the CBET effect)
-    zero_gain = jnp.zeros((cfg.nbeams, cfg.nx * cfg.ny * cfg.nz),
-                          jnp.dtype(cfg.dtype))
+    # (measured to distort the coupled edep by >half the CBET effect).
+    # zero_gain is a FACTORY: the (B, P) zeros (1.9 GB at config 4) are
+    # used once per solve (iteration 0) — pinning them in every cached
+    # solver would hold up to _SOLVER_CACHE_MAX copies of pure zeros in HBM
+    def make_zero_gain():
+        return jnp.zeros((cfg.nbeams, cfg.nx * cfg.ny * cfg.nz),
+                         jnp.dtype(cfg.dtype))
+
     upsample = (make_gain_upsampler(cfg) if cfg.cbet_grid_downsample > 1
                 else (lambda g: g))
 
@@ -1046,15 +1082,13 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         return delta, scale, blended
 
     if n_dev == 1:
-        rb1 = backend if backend is not None else \
-            rt.resolve_deposit_backend(cfg)
-        imode = ("grouped" if _grouped_intensity_ok(cfg, rb1)
+        imode = ("grouped" if _grouped_intensity_ok(cfg, rb)
                  else "scatter")
     else:
         imode = "beam_sharded" if n_local is not None else "scatter"
     return _CbetSolver(gain_fn=gain_fn, upsample=upsample, trace=trace,
                        step_update=_step_update, state0=state0, bid=bid,
-                       zero_gain=zero_gain, intensity_mode=imode)
+                       make_zero_gain=make_zero_gain, intensity_mode=imode)
 
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
@@ -1087,7 +1121,9 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     hx, hy, hz = cfg.cbet_grid_shape
     nb = cfg.nbeams
 
-    edep, intensity, state = trace(ctx.field4, solver.zero_gain, bid, state0)
+    gain_dtype = jnp.dtype(cfg.dtype)
+    edep, intensity, state = trace(ctx.field4, solver.make_zero_gain(),
+                                   bid, state0)
     history = []
     converged = False
     it = 0
@@ -1099,7 +1135,13 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     for it in range(1, cfg.cbet_max_iters + 1):
         _t0 = _time.perf_counter()
         gain = solver.upsample(solver.gain_fn(intensity.astype(jnp.float32))
-                               ).astype(solver.zero_gain.dtype)
+                               ).astype(gain_dtype)
+        if verbose:
+            # fence: dispatch is async and block_until_ready is a no-op on
+            # the tunneled backend — without a fetch, the gain bucket below
+            # would time only dispatch and the gain kernel's compute would
+            # land in the trace bucket (the repeated measurement landmine)
+            jax.device_get(gain[0, 0])
         _t1 = _time.perf_counter()
         edep, i_new, state = trace(ctx.field4, gain, bid, state0)
         _t2 = _time.perf_counter()

@@ -368,6 +368,9 @@ def prepare(cfg: Config, prof: RadialProfiles | None = None,
 
 
 _DEVICE_INIT_CACHE: dict = {}
+# LRU-bounded like cbet._SOLVER_CACHE: each entry pins a compiled init
+# executable; a config-sweeping process would otherwise grow it forever
+_DEVICE_INIT_CACHE_MAX = 4
 
 
 def make_device_init(cfg: Config, layout: TileLayout):
@@ -391,8 +394,9 @@ def make_device_init(cfg: Config, layout: TileLayout):
     that recompile costs seconds — it made the *second* (steady-state)
     ``prepare_device`` nearly as slow as the first."""
     key = (cfg, layout.rays_per_tile, layout.tiles_per_beam)
-    hit = _DEVICE_INIT_CACHE.get(key)
+    hit = _DEVICE_INIT_CACHE.pop(key, None)
     if hit is not None:
+        _DEVICE_INIT_CACHE[key] = hit      # refresh LRU recency
         return hit
     rpz = cfg.rays_per_zone
     zones = cfg.zones_spanned
@@ -483,11 +487,14 @@ def make_device_init(cfg: Config, layout: TileLayout):
             cell=tuple(cell), alive=mask)
 
     fn = jax.jit(init)
+    while len(_DEVICE_INIT_CACHE) >= _DEVICE_INIT_CACHE_MAX:
+        _DEVICE_INIT_CACHE.pop(next(iter(_DEVICE_INIT_CACHE)))
     _DEVICE_INIT_CACHE[key] = fn
     return fn
 
 
-def live_tile_ids(cfg: Config, layout: TileLayout) -> np.ndarray:
+def live_tile_ids(cfg: Config,
+                  layout: TileLayout) -> tuple[np.ndarray, np.ndarray]:
     """Global ids of tiles with >=1 pupil-accepted ray, in traced order,
     padded to a ``tiles_per_block`` multiple with dead tiles; returns
     ``(tile_ids int32, tile_valid bool)``.  The pupil pattern is
@@ -562,8 +569,12 @@ def prepare_device(cfg: Config, prof: RadialProfiles | None = None,
                 jnp.asarray(power_table(cfg), dtype),
                 jnp.asarray(ids), jnp.asarray(valid))
 
-    beam_id = np.repeat(ids // layout.tiles_per_beam, layout.rays_per_tile)
-    beam_id = beam_id.astype(np.int32)
+    # honor the TraceContext.beam_id contract: -1 on pad slots (invalid
+    # dup-padded tiles), the owning beam elsewhere — matching the
+    # host-prepared path so consumers can filter padding the same way
+    beam_id = np.repeat(
+        np.where(valid, ids // layout.tiles_per_beam, -1),
+        layout.rays_per_tile).astype(np.int32)
     return TraceContext(
         cfg=cfg, prof=prof, beam_norm=beam_norm, fields=fields, rays=None,
         layout=layout, field4=field4, state0=state0, beam_id=beam_id,
@@ -645,8 +656,11 @@ def _scatter_deposit(cfg: Config, edep3d, cell, frac, inc):
 def resolve_deposit_backend(cfg: Config) -> str:
     if cfg.deposit_backend != "auto":
         return cfg.deposit_backend
-    on_tpu = jax.default_backend() not in ("cpu",)
-    if not on_tpu:
+    # the Pallas kernels are Mosaic (TPU-only) programs: auto-select them
+    # only on a TPU-class backend ("tpu", or the tunneled "axon" plugin);
+    # any other accelerator (gpu/rocm/...) gets the portable scatter path
+    # instead of failing at Mosaic lowering
+    if jax.default_backend() not in ("tpu", "axon"):
         return "scatter"
     return "pallas" if cfg.nz + 2 <= ZLANES else "pallas_hbm"
 
@@ -922,13 +936,17 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
     # granularity: gathering (T_prev, rays_per_tile) rows moves whole
     # contiguous 1 KB blocks, which the TPU gather handles far better than
     # the equivalent element gather (measured: element-level compaction
-    # gathers ate the entire compaction win)
+    # gathers ate the entire compaction win).  segment_gather_rows maps
+    # tile ids to prev's FULL row layout, so it is correct even when a
+    # segment list interleaves valid and pad rows (per-beam blocks) — the
+    # earlier searchsorted over prev's compressed valid tiles was only
+    # correct for build_segments' pads-as-suffix layout and gathered wrong
+    # rows silently for any other.
+    from .tileplan import segment_gather_rows
+    T_all = int(segments[0].tiles.max()) + 1
     gathers = []
     for prev, seg in zip(segments[:-1], segments[1:]):
-        prev_valid = prev.tiles[prev.valid]            # sorted, unique
-        pos = np.searchsorted(prev_valid, seg.tiles)
-        assert (prev_valid[pos] == seg.tiles).all(), \
-            "segment tiles must be a subset of the previous segment's"
+        pos = segment_gather_rows(prev, seg, T_all)
         valid = np.repeat(seg.valid, rays_per_tile)
         gathers.append((len(prev.tiles), jnp.asarray(pos),
                         jnp.asarray(valid)))
@@ -1091,18 +1109,21 @@ def trace_stats(ctx: TraceContext, state: RayState,
     would silently misalign the slot-for-slot accounting, so that raises."""
     if state0 is None:
         state0 = ctx.state0
-        if state0.n != state.uray.shape[0]:
-            raise ValueError(
-                f"final state has {state.uray.shape[0]} slots but ctx.state0 "
-                f"has {state0.n}: the trace used a compacted/padded ray "
-                "subset — pass the matching state0 explicitly")
+    if state0.n != state.uray.shape[0]:
+        # an explicit state0 must match too: truncating to the shorter of
+        # the two would compare slots from DIFFERENT layouts (e.g. a
+        # compacted last-segment state against segment-0 order) and return
+        # silently wrong termination/energy numbers
+        raise ValueError(
+            f"final state has {state.uray.shape[0]} slots but state0 has "
+            f"{state0.n}: slot-for-slot accounting needs the same layout — "
+            "for segmented traces map the final state back with "
+            "segment_slot_origins / track_final_state first")
     launched_mask = np.asarray(state0.alive)
-    ns = min(launched_mask.shape[0], state.uray.shape[0])
-    launched_mask = launched_mask[:ns]
     launched = int(launched_mask.sum())
-    alive_end = int(np.asarray(state.alive)[:ns].sum())
-    uray = np.asarray(state.uray, np.float64)[:ns]
-    uinit = np.asarray(state.uray_init, np.float64)[:ns]
+    alive_end = int(np.asarray(state.alive).sum())
+    uray = np.asarray(state.uray, np.float64)
+    uinit = np.asarray(state.uray_init, np.float64)
     absorbed = float(np.sum((uinit - uray)[launched_mask]))
     return {
         "rays_total": int(ctx.cfg.total_rays),

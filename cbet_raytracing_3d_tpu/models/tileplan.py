@@ -340,8 +340,13 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
                 pv = prev_locals[d]
                 pos = np.minimum(np.searchsorted(pv, tiles_s[d]),
                                  len(pv) - 1)
-                assert (pv[pos] == tiles_s[d]).all(), \
-                    "segment tiles must be a subset of the previous segment"
+                if not (pv[pos] == tiles_s[d]).all():
+                    # raise, not assert: a silent mismatch would gather the
+                    # wrong tiles' rays on device d under python -O
+                    raise RuntimeError(
+                        f"device {d}: segment tiles are not a subset of "
+                        "the previous segment's (nested-subset invariant "
+                        "broken — stale tile plan?)")
                 rel[d] = pos
             prev_locals = [tiles_s[d][valid_s[d]] if valid_s[d].any()
                            else tiles_s[d][:1] for d in range(n_dev)]
@@ -469,7 +474,13 @@ def segment_gather_rows(prev: Segment, seg: Segment, T: int) -> np.ndarray:
     rows = np.nonzero(prev.valid)[0]
     rowmap[prev.tiles[prev.valid]] = rows
     pos = rowmap[seg.tiles]
-    assert (pos >= 0).all(), "segment tiles must be valid in the previous one"
+    if (pos < 0).any():
+        # raise, not assert: a -1 surviving into the gather would wrap to
+        # the LAST row and silently trace the wrong tile under python -O
+        raise ValueError(
+            f"{int((pos < 0).sum())} segment tiles have no valid row in "
+            "the previous segment — the nested-subset invariant is broken "
+            "(stale or mismatched tile plan?)")
     return pos
 
 

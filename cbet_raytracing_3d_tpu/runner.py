@@ -187,10 +187,7 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
         # grid download (the reference's D2H + host sum, main.cu:178-210)
         edep = np.asarray(jax.device_get(edep_dev), dtype=np.float64)
 
-    if oflow:
-        raise RuntimeError(
-            f"deposit box overflow: {oflow} deposits lost — raise "
-            f"Config.deposit_box (currently {cfg.deposit_box})")
+    rt.check_overflow(oflow, cfg)
 
     stats = rt.trace_stats(ctx, state, state0)
     stats["edep_total"] = float(edep.sum())
@@ -268,10 +265,13 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
     with timers.phase("Combining"):
         edep = np.asarray(jax.device_get(finalize(master)), np.float64)
         of = int(jax.device_get(oflow))
-    if of:
-        raise RuntimeError(f"deposit box overflow: {of}")
+    rt.check_overflow(of, cfg)
 
-    stats = rt.trace_stats(ctx, state, rt.select_rays(ctx.state0, ctx.live_slots))
+    # state0 for accounting must share the final state's (padded) layout;
+    # pad slots are dead in both so they never count
+    stats = rt.trace_stats(ctx, state, sh.pad_rays(
+        rt.select_rays(ctx.state0, ctx.live_slots),
+        ctx.layout.rays_per_tile * cfg.tiles_per_block))
     stats["edep_total"] = float(edep.sum())
     if verbose:
         print(timers.report(), file=sys.stderr)

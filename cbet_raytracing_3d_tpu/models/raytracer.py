@@ -955,12 +955,10 @@ def make_segmented_trace_fn(cfg: Config, rays_per_tile: int, segments,
     if track_final_state:
         # per-segment slot origins in segment-0 space; pad (invalid) rows
         # write to index n0 and are dropped by the scatter
-        origins = []
-        for seg in segments:
-            o = np.where(seg.valid, seg.tiles, -1)
-            slots = o[:, None] * rays_per_tile + np.arange(rays_per_tile)
-            slots[o < 0, :] = n0
-            origins.append(jnp.asarray(slots.reshape(-1)))
+        from .tileplan import origin_slots
+        origins = [jnp.asarray(origin_slots(seg.tiles, seg.valid,
+                                            rays_per_tile, n0))
+                   for seg in segments]
 
     def trace(field4, state0: RayState):
         compute_dtype = state0.uray.dtype

@@ -342,8 +342,10 @@ def build_device_segments(plan: TilePlan, cfg: Config, nt: int,
                                  len(pv) - 1)
                 if not (pv[pos] == tiles_s[d]).all():
                     # raise, not assert: a silent mismatch would gather the
-                    # wrong tiles' rays on device d under python -O
-                    raise RuntimeError(
+                    # wrong tiles' rays on device d under python -O.
+                    # ValueError like segment_gather_rows/_check_plan_covers
+                    # — one exception contract for stale-plan conditions.
+                    raise ValueError(
                         f"device {d}: segment tiles are not a subset of "
                         "the previous segment's (nested-subset invariant "
                         "broken — stale tile plan?)")

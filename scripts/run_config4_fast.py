@@ -74,10 +74,8 @@ n0 = len(segments[0].tiles) * rpt
 
 
 def origin_slots(seg):
-    o = np.where(seg.valid, seg.tiles, -1)
-    sl = o[:, None] * rpt + np.arange(rpt)[None, :]
-    sl[o < 0, :] = n0
-    return jnp.asarray(sl.reshape(-1))
+    from cbet_raytracing_3d_tpu.models.tileplan import origin_slots as _os
+    return jnp.asarray(_os(seg.tiles, seg.valid, rpt, n0))
 
 
 wb = jax.jit(lambda uf, af, u, a, ix: (uf.at[ix].set(u, mode="drop"),

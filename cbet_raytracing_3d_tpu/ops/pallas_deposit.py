@@ -51,7 +51,7 @@ ZLANES = 128
 
 
 def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
-            nzp, tb, tiles_per_group, ablate="", gain_cfg=None,
+            tb, tiles_per_group, ablate="", gain_cfg=None,
             precise=False):
     # ungrouped: rest = (edep_out_ref, oflow_ref) — the kernel produces this
     # call's deposits on a zeroed grid and the caller adds them to the master
@@ -405,12 +405,23 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         grouped = tiles_per_group is not None
         tpg = tiles_per_group if grouped else n_tiles
         assert tpg % tb == 0, (tpg, tb)
+        if grouped and n_tiles > n_groups * tpg:
+            # raise, not assert: the group block index map clamps, so the
+            # overflowing tiles' deposits would silently pour into the
+            # LAST group's grid (and re-fire the grid init) — corrupt
+            # per-beam fields with overflow still 0.  FEWER tiles is
+            # legitimate (trailing groups are never visited and pass
+            # through via the in/out aliasing — e.g. a single group
+            # spanning all tiles with the remaining beam grids untouched).
+            raise ValueError(
+                f"grouped deposit called with {n_tiles} tiles > "
+                f"n_groups*tiles_per_group = {n_groups}*{tpg}")
         gshape = ((n_groups, nxp, yp, ZLANES) if grouped
                   else (nxp, yp, ZLANES))
         assert edep.shape == gshape, (edep.shape, gshape)
 
         kern = functools.partial(_kernel, bx=bx, byk=byk, bz=bz, nxp=nxp,
-                                 nyp=yp, nzp=nzp, tb=tb, tiles_per_group=tpg,
+                                 nyp=yp, tb=tb, tiles_per_group=tpg,
                                  ablate=_ablate, precise=precise)
         if grouped:
             # single-buffer the group grids: default double buffering holds
@@ -519,7 +530,7 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
         assert gain_tab.shape == (n_beams, nxp, yp, ZLANES), gain_tab.shape
 
         kern = functools.partial(
-            _kernel, bx=bx, byk=byk, bz=bz, nxp=nxp, nyp=yp, nzp=nzp,
+            _kernel, bx=bx, byk=byk, bz=bz, nxp=nxp, nyp=yp,
             tb=tb, tiles_per_group=n_tiles,
             gain_cfg=(batch, float(clip)), precise=precise)
 

@@ -60,6 +60,10 @@ def make_gain_kernel(B: int, P: int, iaw: float,
     """Build ``gain(pair_u (B,B,3) f32, rhat_pre (4,P) f32, I (B,P) f32)
     -> (B,P) f32``.  ``rhat_pre`` rows are [rhat_x, rhat_y, rhat_z, pre];
     zero ``pre`` in any padding makes padded columns exact zeros."""
+    # the (B, L)/(4, L) BlockSpecs put L on the lane dim: round any
+    # caller-supplied block up to a 128-lane multiple or Mosaic rejects
+    # the block shape on real TPU (interpret mode would hide it)
+    block = max(128, -(-block // 128) * 128)
     L = min(block, -(-P // 128) * 128)
     Pp = -(-P // L) * L
     kern = functools.partial(_gain_kernel, B=B, iaw2=float(iaw) ** 2)
@@ -67,6 +71,10 @@ def make_gain_kernel(B: int, P: int, iaw: float,
     def gain(pair_u, rhat_pre, intensity):
         assert intensity.shape == (B, P), intensity.shape
         assert rhat_pre.shape == (4, P), rhat_pre.shape
+        # (B, B, 3) with dk axis order as pair_couplings builds it — a
+        # transposed pair_u would flip eta's sign and reverse the CBET
+        # transfer direction while every BlockSpec still matches
+        assert pair_u.shape == (B, B, 3), pair_u.shape
         pad = Pp - P
         ip = jnp.pad(intensity, ((0, 0), (0, pad)))
         rp = jnp.pad(rhat_pre, ((0, 0), (0, pad)))

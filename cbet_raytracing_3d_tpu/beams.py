@@ -32,6 +32,10 @@ def load_beam_norms(path: str = DEFAULT_BEAMS_FILE, nbeams: int | None = None) -
     arr = np.loadtxt(path, dtype=np.float64)
     arr = np.atleast_2d(arr)
     if nbeams is not None:
+        if nbeams > arr.shape[0]:
+            raise ValueError(
+                f"requested {nbeams} beams but the beam table at {path} "
+                f"has only {arr.shape[0]} ports")
         arr = arr[:nbeams]
     return np.ascontiguousarray(arr)
 

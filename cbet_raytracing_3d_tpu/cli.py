@@ -30,18 +30,40 @@ from .runner import run, write_outputs
 from .utils.output import dump_print_format
 
 
+def _parse_bool(s: str) -> bool:
+    """Strict bool parse: an unrecognized value must ERROR, not silently
+    become False (--absorption on / --parity Reference class of typo)."""
+    v = s.lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(
+        f"expected a boolean (true/false/1/0/yes/no/on/off), got {s!r}")
+
+
 def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    import typing
+
+    hints = typing.get_type_hints(Config)
     for f in dataclasses.fields(Config):
         name = "--" + f.name.replace("_", "-")
+        hint = hints.get(f.name)
+        choices = (typing.get_args(hint)
+                   if typing.get_origin(hint) is typing.Literal else None)
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+            p.add_argument(name, type=_parse_bool,
                            default=f.default, metavar="BOOL")
         elif isinstance(f.default, int):
             p.add_argument(name, type=int, default=f.default)
         elif isinstance(f.default, float):
             p.add_argument(name, type=float, default=f.default)
         else:
-            p.add_argument(name, type=str, default=f.default)
+            # Literal-typed fields reject unknown values at parse time
+            # (a silently-accepted '--parity Reference' would run a
+            # scientifically different model)
+            p.add_argument(name, type=str, default=f.default,
+                           choices=choices)
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

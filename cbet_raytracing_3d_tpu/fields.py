@@ -91,6 +91,10 @@ def _edge_stencil(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Plus/minus stencil indices per the reference's wall clamping
     (launch_ray_XZ.cu:212-238): interior (i-1, i+1); at i=0 -> (0, 2);
     at i=n-1 -> (n-3, n-1)."""
+    if n < 3:
+        # the reference's wall stencil reads i=2 and n-3; fail at the
+        # source instead of an opaque out-of-bounds deep in build_fields
+        raise ValueError(f"grid axes must have >= 3 nodes, got {n}")
     i = np.arange(n)
     p = np.minimum(i + 1, n - 1)
     m = np.maximum(i - 1, 0)

@@ -54,7 +54,10 @@ def estimate_hbm_bytes(cfg: Config, with_cbet: bool = False) -> int:
       pair + chunk accumulator)."""
     from .models.raytracer import build_tile_layout
     from .ops.pallas_deposit import edep_zpad_shape
-    layout = build_tile_layout(cfg)
+    # with_slots=False: the preflight only needs n_slots, and the slot_of
+    # map costs O(nbeams*nrays) host time (~7.7 s at config-4 scale) that
+    # the on-device-init path was specifically engineered to skip
+    layout = build_tile_layout(cfg, with_slots=False)
     n_slots = layout.n_slots
     P = cfg.nx * cfg.ny * cfg.nz
     state_bytes = 11 * 4 + 3 * 4 + 1          # f32 SoA + int32 cells + alive
@@ -106,14 +109,25 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
 
     import contextlib
 
+    @contextlib.contextmanager
     def _profiler():
         if not profile_dir:
-            return contextlib.nullcontext()
+            yield
+            return
+        # jax.profiler.trace is a @contextmanager, so a backend that cannot
+        # profile raises at __enter__, not at construction — enter it here
+        # so the documented degrade-to-warning actually happens
+        cm = jax.profiler.trace(profile_dir)
         try:
-            return jax.profiler.trace(profile_dir)
+            cm.__enter__()
         except Exception as e:          # tunneled backends may not support it
             print(f"warning: profiler unavailable: {e}", file=sys.stderr)
-            return contextlib.nullcontext()
+            yield
+            return
+        try:
+            yield
+        finally:
+            cm.__exit__(None, None, None)
 
     with timers.phase("Init"):
         import dataclasses as _dc
@@ -259,9 +273,11 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
             fn = fn_last if ci == n_chunks - 1 else fn_full
             state, master, oflow = fn(ctx.field4, state, master, oflow)
             if (ci + 1) % checkpoint_every == 0 or ci == n_chunks - 1:
-                jax.device_get(oflow)   # fence before writing
+                # one fetch fences AND reads (each device_get is a ~40-50 ms
+                # round-trip through the tunneled backend)
+                of_now = int(jax.device_get(oflow))
                 save_checkpoint(checkpoint_path, cfg, ci + 1, master, state,
-                                int(jax.device_get(oflow)))
+                                of_now)
     with timers.phase("Combining"):
         edep = np.asarray(jax.device_get(finalize(master)), np.float64)
         of = int(jax.device_get(oflow))

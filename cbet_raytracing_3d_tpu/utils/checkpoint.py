@@ -32,7 +32,10 @@ def save_checkpoint(path: str, cfg: Config, chunk_index: int,
     """Atomic: writes to a temp file then os.replace, so an interrupt
     mid-write never corrupts the previous good checkpoint."""
     import os
-    tmp = path + ".tmp"
+    # .npz suffix so savez writes EXACTLY this name: the old bare '.tmp'
+    # made the written-name detection below guess, and a stale external
+    # 'path.tmp' file could have been promoted over the fresh checkpoint
+    tmp = path + ".tmp.npz"
     np.savez_compressed(
         tmp,
         format_version=FORMAT_VERSION,
@@ -48,9 +51,7 @@ def save_checkpoint(path: str, cfg: Config, chunk_index: int,
         cell=np.stack([np.asarray(a) for a in state.cell]),
         alive=np.asarray(state.alive),
     )
-    # numpy appends .npz to names without it
-    written = tmp if os.path.exists(tmp) else tmp + ".npz"
-    os.replace(written, path)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, cfg: Config):

@@ -37,12 +37,20 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         return None
     import jax
 
+    if _ENABLED:
+        current = jax.config.jax_compilation_cache_dir
+        # warn only on an EXPLICITLY requested different dir (a None caller
+        # just wants the cache on, wherever it already is)
+        if cache_dir is not None and cache_dir != current:
+            import sys
+            print(f"warning: compilation cache already enabled at "
+                  f"{current}; ignoring requested {cache_dir}",
+                  file=sys.stderr)
+        return current
     if cache_dir is None:
         cache_dir = os.environ.get("CBET_TPU_COMPILE_CACHE_DIR") or \
             os.path.join(os.path.expanduser("~"), ".cache",
                          "cbet_raytracing_3d_tpu", "xla")
-    if _ENABLED:
-        return jax.config.jax_compilation_cache_dir
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache even fast compiles: through the tunnel every remote compile

@@ -301,3 +301,21 @@ def test_run_cbet_cached_takes_segmented_fast_path(tmp_path):
             if k[0] == cfg.replace(cbet_segmented=True, cbet_max_iters=1,
                                    cbet_tol=0.0, cbet_relax=0.5)]
     assert keys, "segmented CBET solver was not built by the cached run"
+
+
+def test_cli_rejects_bad_flag_values():
+    """Typo'd boolean or Literal flag values must ERROR, not silently run a
+    different model ('--absorption on' used to parse to False)."""
+    from cbet_raytracing_3d_tpu import cli
+
+    p = __import__("argparse").ArgumentParser()
+    cli._add_config_flags(p)
+    ns = p.parse_args(["--absorption", "on", "--parity", "reference"])
+    assert ns.absorption is True and ns.parity == "reference"
+    ns = p.parse_args(["--cbet-gain-sliced", "OFF"])
+    assert ns.cbet_gain_sliced is False
+    import pytest as _pytest
+    for bad in (["--absorption", "o"], ["--parity", "Reference"],
+                ["--deposit-backend", "cuda"], ["--dtype", "f32"]):
+        with _pytest.raises(SystemExit):
+            p.parse_args(bad)

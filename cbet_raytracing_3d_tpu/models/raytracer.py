@@ -666,9 +666,15 @@ def resolve_deposit_backend(cfg: Config) -> str:
 
 
 def make_deferred_step_fn(cfg: Config):
-    """Step variant for batched deposition: advances the state and returns
-    the deposit inputs (cell, frac, masked increment) instead of depositing.
-    Physics identical to make_step_fn."""
+    """THE step physics (one iteration of the reference time loop,
+    launch_ray_XZ.cu:207-357, over the whole ray batch): advances the state
+    and returns the deposit inputs (cell, frac, masked increment) for the
+    caller to deposit — per step (make_step_fn wraps this with the deposit)
+    or batched per window.  The gradient kick at the current cell was
+    row-gathered by the PREVIOUS step (the reference evaluates the stencil
+    at the loop-entry cell — exactly the carried value); the one gather per
+    step fetches kick-for-next-step + absorption at the new cell in a
+    single interleaved (N, 4) row."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     tol = cfg.cell_tol
     stop_frac = cfg.stop_fraction
@@ -719,70 +725,23 @@ def make_step_fn(cfg: Config, rays_per_tile: int, backend: str | None = None):
     ``(state, edep3d) -> (state, edep3d, overflow)``.
 
     Transcribes one iteration of the reference time loop
-    (launch_ray_XZ.cu:207-357) over the whole ray batch."""
-    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
-    tol = cfg.cell_tol
-    stop_frac = cfg.stop_fraction
-    absorption = cfg.absorption
-    nvec = (nx, ny, nz)
+    (launch_ray_XZ.cu:207-357) over the whole ray batch.  The physics is
+    make_deferred_step_fn's (ONE copy — the batched/segmented/plan paths
+    use the deferred variant directly, so they cannot drift); this wrapper
+    only adds the per-step deposit of the returned (cell, frac, inc)."""
     if backend is None:
         backend = resolve_deposit_backend(cfg)
     if backend in PALLAS_BACKENDS:
         tile_deposit = _make_deposit_fn(cfg, rays_per_tile, backend)
+    dstep = make_deferred_step_fn(cfg)
 
     def step(state: RayState, edep3d: jnp.ndarray, field4: jnp.ndarray):
-        dtype = state.uray.dtype
-        # the gradient kick at the current cell was row-gathered by the
-        # previous step (launch_ray_XZ.cu:254-270 evaluates the stencil at the
-        # loop-entry cell — exactly the carried value)
-        vel = tuple(state.vel[ax] - state.kick[ax] for ax in range(3))
-        frac = tuple(state.frac[ax] + vel[ax] for ax in range(3))
-
-        dsel = tuple(_reindex_axis(state.cell[ax], frac[ax], nvec[ax], tol)
-                     for ax in range(3))
-        cell = tuple(state.cell[ax] + dsel[ax] for ax in range(3))
-        frac = tuple(frac[ax] - dsel[ax].astype(dtype) for ax in range(3))
-
-        # THE one gather of the step: kick (for the next step) + absorption
-        # coefficient (launch_ray_XZ.cu:296-311, at the *new* cell's node) in
-        # a single interleaved row
-        flat2 = (cell[0] * ny + cell[1]) * nz + cell[2]
-        rows = jnp.take(field4, flat2, axis=0)          # (N, 4)
-        kick = tuple(rows[:, ax] for ax in range(3))
-        if absorption:
-            increment = rows[:, 3] * state.uray
-            uray = state.uray - increment
-        else:
-            increment = state.uray
-            uray = state.uray
-
-        inc_masked = jnp.where(state.alive, increment, jnp.asarray(0, dtype))
+        new_state, (cell, frac, inc_masked) = dstep(state, field4)
         if backend in PALLAS_BACKENDS:
             edep3d, oflow = tile_deposit(edep3d, *cell, *frac, inc_masked)
         else:
             edep3d = _scatter_deposit(cfg, edep3d, cell, frac, inc_masked)
             oflow = jnp.int32(0)
-
-        # termination (launch_ray_XZ.cu:351-356); box bound in grid units is
-        # +-0.5 cells beyond the node extent
-        out = jnp.zeros_like(state.alive)
-        for ax in range(3):
-            t = cell[ax].astype(dtype) + frac[ax]
-            out |= (t < -0.5) | (t > nvec[ax] - 0.5)
-        dead = (uray <= stop_frac * state.uray_init) | out
-        alive = state.alive & jnp.logical_not(dead)
-
-        # freeze dead rays
-        keep = state.alive
-        new_state = RayState(
-            frac=tuple(jnp.where(keep, frac[ax], state.frac[ax]) for ax in range(3)),
-            vel=tuple(jnp.where(keep, vel[ax], state.vel[ax]) for ax in range(3)),
-            kick=tuple(jnp.where(keep, kick[ax], state.kick[ax]) for ax in range(3)),
-            uray=jnp.where(keep, uray, state.uray),
-            uray_init=state.uray_init,
-            cell=tuple(jnp.where(keep, cell[ax], state.cell[ax]) for ax in range(3)),
-            alive=alive,
-        )
         return new_state, edep3d, oflow
 
     return step

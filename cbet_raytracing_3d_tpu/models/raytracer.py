@@ -754,8 +754,7 @@ def _make_chunk_machinery(cfg: Config, rays_per_tile: int, backend: str):
     step = make_step_fn(cfg, rays_per_tile, backend)
     pallas = backend in PALLAS_BACKENDS
     # the Pallas kernels carry the grid z-lane-padded (to a 128 multiple)
-    shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
-              else (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2))
+    shape3, _ = trace_shapes(cfg, backend)
     chunk = max(1, min(cfg.chunk_steps, cfg.nt))
     n_chunks = -(-cfg.nt // chunk)          # ceil
     last_chunk = cfg.nt - (n_chunks - 1) * chunk
@@ -974,9 +973,7 @@ def make_chunk_fn(cfg: Config, rays_per_tile: int, n_steps: int,
     if backend is None:
         backend = resolve_deposit_backend(cfg)
     step = make_step_fn(cfg, rays_per_tile, backend)
-    pallas = backend in PALLAS_BACKENDS
-    shape3 = (edep_zpad_shape(cfg.nx, cfg.ny, cfg.nz) if pallas
-              else (cfg.nx + 2, cfg.ny + 2, cfg.nz + 2))
+    shape3, _ = trace_shapes(cfg, backend)
 
     def chunk(field4, state: RayState, master, oflow):
         edep32 = jnp.zeros(shape3, state.uray.dtype)

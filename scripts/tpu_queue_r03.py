@@ -58,7 +58,10 @@ def main():
               f"wall {time.perf_counter() - t0:.1f}s", flush=True)
         rel = abs(edep.sum() - st["energy_absorbed"]) / edep.sum()
         print(f"edep-vs-absorbed rel diff {rel:.2e}", flush=True)
-        print("VERIFY DRIVE OK" if rel < 1e-6 else "VERIFY DRIVE MISMATCH",
+        # bf16 kernel weights conserve energy to ~2-3e-6 (BASELINE.md,
+        # round 1 "Energy conservation"); 1e-5 separates that from real
+        # breakage without false alarms.
+        print("VERIFY DRIVE OK" if rel < 1e-5 else "VERIFY DRIVE MISMATCH",
               flush=True)
     except Exception as e:
         print(f"verify drive FAILED: {e!r}", flush=True)

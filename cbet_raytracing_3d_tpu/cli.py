@@ -7,6 +7,9 @@ compile time (def.cuh).  Here every def.cuh parameter is a flag; subcommands:
 * ``run``    — full simulation (optionally with the CBET stage)
 * ``dump``   — reference-compatible -D PRINT text dump to stdout
                 (Makefile:14-17 golden-test replacement)
+* ``track``  — per-step trajectory recording for selected rays (the live
+                version of the reference's dormant RAY_TRACKER /
+                INTERSECTION diagnostics hooks, def.cuh:26-27)
 
 (The benchmark harness is top-level ``bench.py`` — the driver contract.)
 
@@ -92,6 +95,15 @@ def main(argv=None) -> int:
     p_dump = sub.add_parser("dump", help="-D PRINT compatible dump to stdout")
     _add_config_flags(p_dump)
 
+    p_track = sub.add_parser(
+        "track", help="record per-step trajectories of selected rays")
+    _add_config_flags(p_track)
+    p_track.add_argument(
+        "--pairs", required=True,
+        help="comma list of beam:ray thread ids, e.g. '0:9800,17:4321'")
+    p_track.add_argument("--out", default="out/trajectories.npz",
+                         help="npz output path")
+
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -115,6 +127,31 @@ def main(argv=None) -> int:
     if args.cmd == "dump":
         res = run(cfg, verbose=False)
         sys.stdout.write(dump_print_format(res.edep))
+        return 0
+
+    if args.cmd == "track":
+        import os
+
+        from .models.tracker import track_rays
+        try:
+            pairs = [tuple(int(v) for v in p.split(":"))
+                     for p in args.pairs.split(",")]
+            if any(len(p) != 2 for p in pairs):
+                raise ValueError
+        except ValueError:
+            print(f"--pairs: expected 'beam:ray,beam:ray,...', "
+                  f"got {args.pairs!r}", file=sys.stderr)
+            return 2
+        traj = track_rays(cfg, [p[0] for p in pairs], [p[1] for p in pairs])
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        traj.save_npz(args.out)
+        print(json.dumps({
+            "rays": traj.n,
+            "launched": int(traj.launched.sum()),
+            "steps": traj.steps.tolist(),
+            "crossings": traj.crossing_counts().tolist(),
+            "out": args.out,
+        }, indent=2))
         return 0
 
     return 1

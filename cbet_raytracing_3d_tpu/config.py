@@ -125,6 +125,17 @@ class Config:
     # ANY gain (gain never alters trajectories) — and the segmented trace
     # additionally hard-errors if compaction ever drops a still-alive ray.
     cbet_segmented: bool = False
+    # Liveness headroom of the CBET segmented-trace plan: the plan is
+    # measured with stop_fraction * cbet_plan_headroom.  0.0 (gain-proof)
+    # keeps every ray "live" until box exit — a strict superset of liveness
+    # under ANY gain, but ~17% extra tile-step work on the OMEGA scene
+    # (scripts/analyze_cbet_plan_work.py).  h>0 assumes no ray's energy is
+    # amplified above (1/h) x its planned-death threshold — e.g. 0.25
+    # tolerates 4x amplification where the measured OMEGA redistribution
+    # peaks at ~1.3x.  SAFE BY FAILURE: the segmented CBET trace hard-errors
+    # ("dropped N still-alive rays") if the assumption is ever violated;
+    # lower the headroom (or set 0.0) and the solve re-plans.
+    cbet_plan_headroom: float = 0.0
     # CBET intensity/gain grid coarsening: 1 evaluates the per-beam intensity
     # fields and gain on the full node grid; s>1 uses an s-times-coarser node
     # grid (nodes at full-grid indices 0, s, 2s, ...).  The gain fields are

@@ -997,10 +997,12 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
               "sharded CBET trace", file=sys.stderr)
     if cfg.cbet_segmented and n_dev == 1:
         from . import tileplan as tp
-        # gain-proof plan: stop_fraction=0 makes liveness a superset of any
-        # gained trace's (gain never alters trajectories) — the segmented
-        # trace's dropped-alive counter still enforces it below
-        plan_cfg = cfg.replace(stop_fraction=0.0)
+        # gain-proof plan at headroom 0: stop_fraction=0 makes liveness a
+        # superset of any gained trace's (gain never alters trajectories);
+        # headroom>0 plans with a scaled stop rule (Config.cbet_plan_headroom)
+        # — the segmented trace's dropped-alive counter enforces it below
+        plan_cfg = cfg.replace(
+            stop_fraction=cfg.stop_fraction * cfg.cbet_plan_headroom)
         plan = tp.get_or_measure_plan(plan_cfg, ctx, state0, cache_dir)
         segments, seg_tpgs = tp.build_beam_segments(plan, cfg, cfg.nt,
                                                     cfg.nbeams)

@@ -62,7 +62,8 @@ _PLAN_FREE_FIELDS = ("deposit_backend", "deposit_batch_steps",
                      "edep_dtype", "cbet_max_iters", "cbet_tol",
                      "cbet_relax", "cbet_gain_stride", "cbet_gain_mode",
                      "cbet_gain_sliced", "cbet_grid_downsample",
-                     "cbet_segmented", "machnum", "ncrossings_mult")
+                     "cbet_segmented", "cbet_plan_headroom",
+                     "machnum", "ncrossings_mult")
 
 
 def plan_config_fingerprint(cfg: Config) -> str:

@@ -629,3 +629,29 @@ def test_solver_cache_mesh_content_key(two_beam_cfg, profiles):
     assert _get_solver(cfg, ctx, mesh_b, "scatter", None) is s1
     mesh_c = make_mesh(jax.devices()[2:4])     # different device ids
     assert _get_solver(cfg, ctx, mesh_c, "scatter", None) is not s1
+
+
+def test_cbet_plan_headroom(two_beam_cfg, profiles):
+    """cbet_plan_headroom > 0 plans the segmented CBET trace with a scaled
+    stop rule instead of the gain-proof stop_fraction=0 superset.  At a
+    physical headroom the solve is bit-identical (no ray is amplified past
+    the planned-death threshold); at an absurd headroom the dropped-alive
+    hard error fires instead of silently corrupting the solve."""
+    # tiles_per_block=1 so tiles_per_beam > block size and segments can
+    # actually shrink (at the default block size this scene is one
+    # unshrinkable segment and the knob would be untested)
+    cfg0 = two_beam_cfg.replace(dtype="float64", chunk_steps=10,
+                                deposit_batch_steps=5, cbet_max_iters=3,
+                                cbet_segmented=True, tiles_per_block=1)
+    ctx = rt.prepare(cfg0, profiles)
+    base = cbet_solve(cfg0, ctx, backend="scatter")
+    head = cbet_solve(cfg0.replace(cbet_plan_headroom=0.5), ctx,
+                      backend="scatter")
+    np.testing.assert_allclose(head.edep, base.edep, rtol=1e-12, atol=0)
+    for key in ("rays_launched", "rays_terminated", "rays_alive_at_end",
+                "energy_absorbed"):
+        assert head.stats[key] == base.stats[key], key
+
+    with pytest.raises(RuntimeError, match="dropped"):
+        cbet_solve(cfg0.replace(cbet_plan_headroom=1e6), ctx,
+                   backend="scatter")

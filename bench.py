@@ -179,8 +179,13 @@ def main() -> int:
         # the exact (per-step, oracle-validated) model on its fast path:
         # segmented CBET traces + per-beam-sliced gain gathers are BOTH
         # value-identical to the plain exact solve (measured rel-L2 0.0 on
-        # chip, artifacts/cbet_r03.json) — this is still the exact model
-        cfg_exact = _dc.replace(cfg, cbet_segmented=n_dev == 1)
+        # chip, artifacts/cbet_r03.json) — this is still the exact model.
+        # plan_headroom=0.5 tightens the segment plan (bit-identical on
+        # chip, artifacts/cbet_decomp_r03c.json; OMEGA amplification peaks
+        # ~1.3x vs the 2x this tolerates) and is SAFE BY RETRY: a violated
+        # plan re-solves gain-proof instead of erroring (cbet_solve)
+        cfg_exact = _dc.replace(cfg, cbet_segmented=n_dev == 1,
+                                cbet_plan_headroom=0.5)
         t0 = time.perf_counter()
         cbet_solve(_dc.replace(cfg_exact, cbet_max_iters=1), ctx,
                    cache_dir=".cbet_cache")

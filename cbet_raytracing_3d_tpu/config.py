@@ -132,9 +132,11 @@ class Config:
     # (scripts/analyze_cbet_plan_work.py).  h>0 assumes no ray's energy is
     # amplified above (1/h) x its planned-death threshold — e.g. 0.25
     # tolerates 4x amplification where the measured OMEGA redistribution
-    # peaks at ~1.3x.  SAFE BY FAILURE: the segmented CBET trace hard-errors
-    # ("dropped N still-alive rays") if the assumption is ever violated;
-    # lower the headroom (or set 0.0) and the solve re-plans.
+    # peaks at ~1.3x.  SAFE BY RETRY: the segmented CBET trace counts any
+    # dropped still-alive ray, and cbet_solve responds by re-planning
+    # gain-proof (headroom 0) and re-solving from scratch, with a warning —
+    # a violated assumption costs one wasted partial solve, never a wrong
+    # result.
     cbet_plan_headroom: float = 0.0
     # CBET intensity/gain grid coarsening: 1 evaluates the per-beam intensity
     # fields and gain on the full node grid; s>1 uses an s-times-coarser node

@@ -1044,6 +1044,12 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
             edep, inodes, st2, of, dropped = out
             of, nd = (int(x) for x in jax.device_get((of, dropped)))
             if nd:
+                if cfg.cbet_plan_headroom > 0.0:
+                    raise RuntimeError(
+                        f"CBET compaction dropped {nd} still-alive rays — "
+                        f"the cbet_plan_headroom={cfg.cbet_plan_headroom} "
+                        "liveness assumption was violated (a ray was "
+                        "amplified past its planned-death threshold)")
                 raise RuntimeError(
                     f"CBET compaction dropped {nd} still-alive rays — the "
                     "gain-proof tile plan was violated (stale plan cache?); "
@@ -1096,6 +1102,31 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
                backend: str | None = None, verbose: bool = False,
                cache_dir: str | None = None) -> CbetResult:
+    """Fixed-point CBET solve (batched over beam pairs) — see
+    ``_cbet_solve_once`` for the solve itself.
+
+    ``cfg.cbet_plan_headroom > 0`` is SAFE BY RETRY here: if the tighter
+    segmented-trace plan ever drops a still-alive ray (its liveness
+    assumption violated by amplification), the solve re-plans gain-proof
+    (headroom 0 — a strict liveness superset under any gain) and re-solves
+    from scratch, with a warning.  At headroom 0 the dropped-alive error
+    still raises: there it means a stale plan cache, not a model
+    assumption."""
+    try:
+        return _cbet_solve_once(cfg, ctx, mesh, backend, verbose, cache_dir)
+    except RuntimeError as e:
+        if cfg.cbet_plan_headroom <= 0.0 or "dropped" not in str(e):
+            raise
+        import sys
+        print(f"warning: {e} — re-planning gain-proof (headroom 0) and "
+              "re-solving", file=sys.stderr)
+        return _cbet_solve_once(cfg.replace(cbet_plan_headroom=0.0), ctx,
+                                mesh, backend, verbose, cache_dir)
+
+
+def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
+                     backend: str | None = None, verbose: bool = False,
+                     cache_dir: str | None = None) -> CbetResult:
     """Fixed-point CBET solve (batched over beam pairs).
 
     With a multi-device ``mesh``, each iteration's trace is shard_mapped over

@@ -184,7 +184,10 @@ def main() -> int:
         # chip, artifacts/cbet_decomp_r03c.json; OMEGA amplification peaks
         # ~1.3x vs the 2x this tolerates) and is SAFE BY RETRY: a violated
         # plan re-solves gain-proof instead of erroring (cbet_solve)
-        cfg_exact = _dc.replace(cfg, cbet_segmented=n_dev == 1,
+        # segmented everywhere it applies: single device, or a beam-sharded
+        # mesh (whole beams per shard); scatter-layout meshes fall back
+        # unsegmented with a warning inside the solver
+        cfg_exact = _dc.replace(cfg, cbet_segmented=True,
                                 cbet_plan_headroom=0.5)
         t0 = time.perf_counter()
         cbet_solve(_dc.replace(cfg_exact, cbet_max_iters=1), ctx,

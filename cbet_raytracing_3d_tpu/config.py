@@ -115,15 +115,22 @@ class Config:
     # slots can gather from its OWN (P,) 4 MB gain row instead of the full
     # (B, P) table — gather rows from a 4 MB table measured 7.7 ns vs 13.8
     # from the 245 MB table (DESIGN_NOTES).  Values are identical (same
-    # elements, sliced); single-device only (sharded solves fall back to
-    # the beam-offset gather).  Measured on chip: the exact 60-beam solve
-    # 181.3 -> 131.8 s (-27%) with bit-identical results — default on.
+    # elements, sliced); runs single-device and on beam-sharded meshes
+    # (per-shard dynamic row slices); only the beam-straddling scatter
+    # mesh layout falls back to the beam-offset gather.  Measured on chip:
+    # the exact 60-beam solve 181.3 -> 131.8 s (-27%) with bit-identical
+    # results — default on.
     cbet_gain_sliced: bool = True
-    # Static mid-trace tile compaction inside the CBET fixed-point traces
-    # (single-device): the tile plan is measured with stop_fraction=0 —
-    # rays then live until box exit, a strict superset of liveness under
-    # ANY gain (gain never alters trajectories) — and the segmented trace
-    # additionally hard-errors if compaction ever drops a still-alive ray.
+    # Static mid-trace tile compaction inside the CBET fixed-point traces:
+    # the tile plan is measured with stop_fraction=0 — rays then live until
+    # box exit, a strict superset of liveness under ANY gain (gain never
+    # alters trajectories) — and the segmented trace additionally counts
+    # any still-alive ray compaction drops (hard error / headroom retry).
+    # On a mesh this composes with the beam-sharded grouped-intensity
+    # layout (whole beams per shard, incl. phantom padding): one segment
+    # schedule, per-shard index arrays as sharded arguments
+    # (tileplan.split_beam_segments).  Beam-straddling scatter-layout
+    # meshes fall back to the unsegmented sharded trace with a warning.
     cbet_segmented: bool = False
     # Liveness headroom of the CBET segmented-trace plan: the plan is
     # measured with stop_fraction * cbet_plan_headroom.  0.0 (gain-proof)

@@ -310,12 +310,17 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
 
     ``segments``/``seg_tpgs`` (from tileplan.build_beam_segments) enable
     static mid-trace tile compaction: the ray state, beam ids, and the
-    per-beam group width are gathered down at segment boundaries (single
-    device only).  The trace then returns a FIFTH output ``dropped`` — the
-    count of still-alive rays compaction discarded, which callers must
-    hard-error on (a plan measured with stop_fraction=0 guarantees 0 for
-    any gain; the counter is the enforcement) — and the returned ``state``
-    is the full state0-aligned final state (write-back at boundaries)."""
+    per-beam group width are gathered down at segment boundaries.  The
+    trace then returns a FIFTH output ``dropped`` — the count of
+    still-alive rays compaction discarded, which callers must hard-error
+    on (a plan measured with stop_fraction=0 guarantees 0 for any gain;
+    the counter is the enforcement) — and the returned ``state`` is the
+    full state0-aligned final state (write-back at boundaries).
+    Combined with ``n_local_beams`` (segments + beam sharding) the trace
+    takes a FIFTH argument ``seg_args`` — the per-shard
+    ``tileplan.split_beam_segments`` index arrays as sharded (1, ...)
+    blocks — and compaction runs per shard on its own whole beams with
+    the same static segment schedule on every device."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     if backend is None:
         backend = rt.resolve_deposit_backend(cfg)
@@ -356,8 +361,6 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 "n_local_beams (beam-sharded intensity) requires the "
                 f"grouped Pallas intensity path; backend={backend!r} with "
                 f"CBET grid z extent {hz + 2} lanes does not support it")
-        if segments is not None:
-            raise ValueError("segmented CBET traces are single-device only")
         if cfg.cbet_gain_mode == "kernel":
             raise ValueError("cbet_gain_mode='kernel' is single-device only")
     tpg = (tiles_per_group if tiles_per_group is not None
@@ -447,7 +450,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         gathers = origins = None
     else:
         if intensity_scatter:
-            raise ValueError("segmented CBET traces are single-device only")
+            raise ValueError("segmented CBET traces require the grouped "
+                             "intensity path (beam-contiguous tile groups)")
         if len(seg_tpgs) != len(segments):
             raise ValueError(
                 f"segments/seg_tpgs length mismatch: {len(segments)} vs "
@@ -459,18 +463,30 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 f"traces {n_chunks} (stale plan for a different nt/"
                 "chunk_steps?)")
         dep_sets = [_deposit_set(t) for t in seg_tpgs]
-        from .tileplan import origin_slots, segment_gather_rows
-        T_all = int(segments[0].tiles.max()) + 1
-        gathers = []
-        for prev, seg in zip(segments[:-1], segments[1:]):
-            pos = segment_gather_rows(prev, seg, T_all)
-            gathers.append((len(prev.tiles), jnp.asarray(pos),
-                            jnp.asarray(np.repeat(seg.valid, rpt))))
-        # per-segment slot origins in segment-0 slot space for the final-
-        # state write-back (invalid rows land past the end -> dropped)
-        n0 = len(segments[0].tiles) * rpt
-        origins = [jnp.asarray(origin_slots(seg.tiles, seg.valid, rpt, n0))
-                   for seg in segments]
+        if n_local_beams is None:
+            from .tileplan import origin_slots, segment_gather_rows
+            T_all = int(segments[0].tiles.max()) + 1
+            gathers = []
+            for prev, seg in zip(segments[:-1], segments[1:]):
+                pos = segment_gather_rows(prev, seg, T_all)
+                gathers.append((len(prev.tiles), jnp.asarray(pos),
+                                jnp.asarray(np.repeat(seg.valid, rpt))))
+            # per-segment slot origins in segment-0 slot space for the
+            # final-state write-back (invalid rows land past the end ->
+            # dropped)
+            n0 = len(segments[0].tiles) * rpt
+            origins = [jnp.asarray(origin_slots(seg.tiles, seg.valid,
+                                                rpt, n0))
+                       for seg in segments]
+        else:
+            # BEAM-SHARDED segmented trace: the per-shard gather/write-back
+            # index arrays differ per device and ride in as sharded
+            # arguments (trace's 5th arg, built by _build_solver via
+            # split_beam_segments) — only the STATIC structure (widths,
+            # chunk lengths) is closed over, so shard_map traces one
+            # program for all devices (same pattern as
+            # sharding.make_sharded_segmented_trace_fn)
+            gathers = origins = None
 
     def to_coarse(cell, frac):
         """Full-grid (cell, frac) -> coarse-grid (cell, frac): the position
@@ -488,8 +504,11 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         ishape = ((nb_g,) + edep_zpad_shape(hx, hy, hz) if grouped_pallas
                   else (nb, hx + 2, hy + 2, hz + 2))
 
-        # bid is a (sharded) argument: per-slot beam ids travel with the rays
-        def trace(field4, gain, bid, state0: rt.RayState):
+        # bid is a (sharded) argument: per-slot beam ids travel with the
+        # rays.  seg_args (beam-sharded segmented traces only) carries the
+        # per-shard (origins, gathers) index arrays — (1, ...) blocks
+        # inside shard_map
+        def trace(field4, gain, bid, state0: rt.RayState, seg_args=None):
             dtype = state0.uray.dtype
             dvec = jnp.asarray(d, dtype)
             # intensity is deposited per coarse-node *density*: a coarse node
@@ -788,6 +807,16 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 # static mid-trace tile compaction (tile-row gathers at
                 # segment boundaries) with final-state write-back and the
                 # dropped-alive-ray hard-error counter
+                if n_local_beams is None:
+                    origins_l, gathers_l = origins, gathers
+                else:
+                    # per-shard index arrays from seg_args ((1, ...) blocks
+                    # inside shard_map); the prev-segment tile width is
+                    # static: n_local beams x that segment's tiles-per-beam
+                    og, gt = seg_args
+                    origins_l = [o[0] for o in og]
+                    gathers_l = [(nb_g * seg_tpgs[i], gt[i][0][0],
+                                  gt[i][1][0]) for i in range(len(gt))]
                 state, bid_l = state0, bid
                 edep, ibeams = edep_master, imaster
                 oflow = jnp.int32(0)
@@ -795,7 +824,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 uray_full, alive_full = state0.uray, state0.alive
 
                 def write_back(uf, af, si, state):
-                    ix = origins[si]
+                    ix = origins_l[si]
                     return (uf.at[ix].set(state.uray, mode="drop"),
                             af.at[ix].set(state.alive, mode="drop"))
 
@@ -805,7 +834,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                             uray_full, alive_full, si - 1, state)
                         alive_before = jnp.sum(
                             state.alive.astype(jnp.int32))
-                        t_prev, pos, val = gathers[si - 1]
+                        t_prev, pos, val = gathers_l[si - 1]
 
                         def take(a, t_prev=t_prev, pos=pos):
                             return a.reshape(t_prev, rpt)[pos].reshape(-1)
@@ -868,6 +897,9 @@ class _CbetSolver:
     # grouped Pallas kernel), "beam_sharded" (grouped kernel per shard,
     # whole beams per device), or "scatter" (beam-offset scatter fallback)
     intensity_mode: str = "grouped"
+    segmented: bool = False    # compacted per-iteration traces (any device
+    #                            count) — False when a mesh layout forced
+    #                            the unsegmented fallback
 
 
 _SOLVER_CACHE: dict = {}
@@ -974,6 +1006,33 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     else:
         state0 = pad_rays(state_raw, n_dev * rpt * cfg.tiles_per_block)
     bid = np.pad(bid_raw, (0, state0.n - bid_raw.shape[0]))
+    # segment plan first, on the still-host padded state (the plan measure
+    # is a plain jit trace; it does not need — or want — the mesh layout)
+    segments = seg_tpgs = seg_args = None
+    if cfg.cbet_segmented and n_dev > 1 and n_local is None:
+        # the segmented CBET trace needs beam-contiguous shards (grouped
+        # intensity); on the scatter-fallback mesh layout say so instead of
+        # silently running every mesh iteration uncompacted
+        import sys
+        print("warning: cbet_segmented requested but this mesh solve is on "
+              "the beam-straddling scatter layout — falling back to the "
+              "unsegmented sharded CBET trace", file=sys.stderr)
+    elif cfg.cbet_segmented:
+        from . import tileplan as tp
+        # gain-proof plan at headroom 0: stop_fraction=0 makes liveness a
+        # superset of any gained trace's (gain never alters trajectories);
+        # headroom>0 plans with a scaled stop rule (Config.cbet_plan_headroom)
+        # — the segmented trace's dropped-alive counter enforces it below
+        plan_cfg = cfg.replace(
+            stop_fraction=cfg.stop_fraction * cfg.cbet_plan_headroom)
+        plan = tp.get_or_measure_plan(plan_cfg, ctx, state0, cache_dir)
+        # nb_pad: phantom padding beams segment like any other (all-dead
+        # from chunk 0, so they cost one carried tile per segment)
+        segments, seg_tpgs = tp.build_beam_segments(plan, cfg, cfg.nt,
+                                                    nb_pad)
+        if n_local is not None:
+            seg_args = tp.split_beam_segments(segments, seg_tpgs, nb_pad,
+                                              n_dev, rpt)
     # commit the per-ray arrays ONCE, in the layout the per-iteration jitted
     # trace consumes: single-device -> resident on the default device; mesh
     # -> sharded along the ray axis so every fixed-point iteration reuses
@@ -984,28 +1043,14 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         state0 = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), sharding), state0)
         bid = jax.device_put(jnp.asarray(bid), sharding)
+        if seg_args is not None:
+            # per-device index arrays, committed sharded on their leading
+            # (device) axis so per-iteration calls reuse resident shards
+            seg_args = jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), sharding), seg_args)
     else:
         state0 = put_state(state0)
         bid = jnp.asarray(bid)
-    segments = seg_tpgs = None
-    if cfg.cbet_segmented and n_dev > 1:
-        # make_cbet_trace_fn's segmented path is single-device; say so
-        # instead of silently running every mesh iteration uncompacted
-        import sys
-        print("warning: cbet_segmented requested but solve is on a "
-              f"{n_dev}-device mesh — falling back to the unsegmented "
-              "sharded CBET trace", file=sys.stderr)
-    if cfg.cbet_segmented and n_dev == 1:
-        from . import tileplan as tp
-        # gain-proof plan at headroom 0: stop_fraction=0 makes liveness a
-        # superset of any gained trace's (gain never alters trajectories);
-        # headroom>0 plans with a scaled stop rule (Config.cbet_plan_headroom)
-        # — the segmented trace's dropped-alive counter enforces it below
-        plan_cfg = cfg.replace(
-            stop_fraction=cfg.stop_fraction * cfg.cbet_plan_headroom)
-        plan = tp.get_or_measure_plan(plan_cfg, ctx, state0, cache_dir)
-        segments, seg_tpgs = tp.build_beam_segments(plan, cfg, cfg.nt,
-                                                    cfg.nbeams)
     trace_maker = make_cbet_trace_fn(cfg, ctx, backend,
                                      intensity_scatter=(n_dev > 1
                                                         and n_local is None),
@@ -1013,7 +1058,27 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
                                      segments=segments, seg_tpgs=seg_tpgs,
                                      n_local_beams=n_local)
     local = trace_maker()
-    if n_dev > 1:
+    if n_dev > 1 and segments is not None:
+        from jax.sharding import PartitionSpec as Pspec
+
+        # beam-sharded segmented trace: per-shard index arrays ride in as
+        # sharded arguments, edep/overflow/dropped psum over ICI, the
+        # intensity comes back beam-sharded (n_local is not None here)
+        def sharded_seg(field4, gain, bid_, st, seg_a):
+            edep, inodes, st2, of, dropped = local(field4, gain, bid_, st,
+                                                   seg_a)
+            return (jax.lax.psum(edep, AXIS), inodes, st2,
+                    jax.lax.psum(of, AXIS), jax.lax.psum(dropped, AXIS))
+
+        trace_seg_j = jax.jit(jax.shard_map(
+            sharded_seg, mesh=mesh,
+            in_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec(AXIS),
+                      Pspec(AXIS)),
+            out_specs=(Pspec(), Pspec(AXIS), Pspec(AXIS), Pspec(), Pspec()),
+            check_vma=False))
+        def trace_j(field4, gain, bid_, st, _fn=trace_seg_j, _sa=seg_args):
+            return _fn(field4, gain, bid_, st, _sa)
+    elif n_dev > 1:
         from jax.sharding import PartitionSpec as Pspec
 
         def sharded(field4, gain, bid_, st):
@@ -1096,7 +1161,8 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         imode = "beam_sharded" if n_local is not None else "scatter"
     return _CbetSolver(gain_fn=gain_fn, upsample=upsample, trace=trace,
                        step_update=_step_update, state0=state0, bid=bid,
-                       make_zero_gain=make_zero_gain, intensity_mode=imode)
+                       make_zero_gain=make_zero_gain, intensity_mode=imode,
+                       segmented=segments is not None)
 
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
@@ -1140,10 +1206,15 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     per-shard beam-offset scatter fallback is used (grouped grids can't see
     beams that straddle shards).
 
-    ``cfg.cbet_segmented`` (single-device): each iteration's trace runs
-    statically compacted on a gain-proof tile plan (measured with
-    stop_fraction=0, see Config docstring); ``cache_dir`` disk-caches that
-    plan like the base trace's.
+    ``cfg.cbet_segmented``: each iteration's trace runs statically
+    compacted on a gain-proof tile plan (measured with stop_fraction=0 —
+    or the ``cbet_plan_headroom``-scaled stop rule, see Config).  On a
+    mesh this rides the beam-sharded layout (whole beams per shard,
+    phantom padding included): every device runs the same segment
+    schedule with its own per-shard gather/write-back index arrays as
+    sharded arguments.  A beam-straddling (scatter-layout) mesh falls
+    back to the unsegmented trace with a warning.  ``cache_dir``
+    disk-caches the plan like the base trace's.
 
     The built solver (jitted trace, device-resident state, segment plan) is
     cached across calls on everything but the iteration-control fields, so a
@@ -1205,6 +1276,7 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
         nb, hx, hy, hz)
     stats["result_fetch_seconds"] = round(_time.perf_counter() - _tf, 3)
     stats["intensity_mode"] = solver.intensity_mode
+    stats["segmented"] = solver.segmented
     return CbetResult(
         edep=edep_h, intensity=inten_h,
         iterations=it, converged=converged, history=history, stats=stats)

@@ -454,6 +454,62 @@ def build_beam_segments(plan: TilePlan, cfg: Config, nt: int, nbeams: int,
     return segments, tpgs
 
 
+def split_beam_segments(segments, seg_tpgs, nbeams: int, n_dev: int,
+                        rays_per_tile: int):
+    """Per-device gather/write-back index arrays for the BEAM-SHARDED
+    segmented CBET trace: ``build_beam_segments`` output on a mesh whose
+    shards own whole contiguous beams (``nbeams % n_dev == 0``; phantom
+    padding beams count — they are beams like any other here).
+
+    The segment layout is per-beam blocks of uniform width, and a beam's
+    tiles only ever gather from the SAME beam's tiles in the previous
+    segment (``build_beam_segments`` constructs ``per_beam`` per beam,
+    including the dead-beam carry), so the global index arrays split into
+    whole-beam row blocks with a per-device offset shift.  Returns
+    ``(origins, gathers)``: ``origins[s]`` is an (n_dev, T_s*rpt) int64
+    array of device-LOCAL final-state write-back slots (pad rows ->
+    ``n0_local``, dropped by ``.at[].set(mode='drop')``); ``gathers[b]``
+    is ``(pos, valid)`` with ``pos`` (n_dev, T_b) device-local tile-row
+    indices into the previous segment and ``valid`` (n_dev, T_b*rpt).
+    These ride into the shard_mapped trace as sharded arguments — the
+    traced program is identical across devices (same widths/chunk
+    schedule), only the index data differs."""
+    if nbeams % n_dev:
+        raise ValueError(f"{nbeams} beams do not shard onto {n_dev} "
+                         "devices as whole beams")
+    n_local = nbeams // n_dev
+    rpt = rays_per_tile
+    tpb = seg_tpgs[0]            # segment 0 = every tile of every beam
+    T_all = nbeams * tpb
+    n0_local = n_local * tpb * rpt
+    dev_tile0 = (np.arange(n_dev) * n_local * tpb)[:, None]
+
+    origins = []
+    for si, seg in enumerate(segments):
+        w = seg_tpgs[si]
+        tiles_d = seg.tiles.reshape(n_dev, n_local * w) - dev_tile0
+        valid_d = seg.valid.reshape(n_dev, n_local * w)
+        ok = tiles_d[valid_d]
+        if ok.size and (ok.min() < 0 or ok.max() >= n_local * tpb):
+            raise ValueError(
+                f"segment {si} tiles cross beam-shard boundaries — the "
+                "per-beam block layout contract is broken")
+        origins.append(origin_slots(tiles_d, valid_d, rpt, n0_local))
+    gathers = []
+    for i, (prev, seg) in enumerate(zip(segments[:-1], segments[1:])):
+        pos = segment_gather_rows(prev, seg, T_all)
+        w, wp = seg_tpgs[i + 1], seg_tpgs[i]
+        posd = (pos.reshape(n_dev, n_local * w)
+                - (np.arange(n_dev) * n_local * wp)[:, None])
+        if posd.min() < 0 or posd.max() >= n_local * wp:
+            raise ValueError(
+                f"segment {i + 1} gathers cross beam-shard boundaries — "
+                "the per-beam block layout contract is broken")
+        vald = np.repeat(seg.valid.reshape(n_dev, n_local * w), rpt, axis=1)
+        gathers.append((posd, vald))
+    return origins, gathers
+
+
 def origin_slots(tiles: np.ndarray, valid: np.ndarray, rays_per_tile: int,
                  drop_to: int) -> np.ndarray:
     """Per-slot write-back origins in segment-0 slot space: valid tile t

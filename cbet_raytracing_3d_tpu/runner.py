@@ -210,12 +210,14 @@ def run(cfg: Config, *, with_cbet: bool = False, mesh=None,
     cbet_result = None
     if with_cbet:
         with timers.phase("CBET"):
-            # same fast path bench.py measures: single-device solves with a
-            # cache dir run segmented (compacted) CBET iteration traces —
-            # value-identical to the plain solve (measured rel-L2 0.0 on
-            # chip) and guarded by the dropped-alive-ray hard error
+            # same fast path bench.py measures: solves with a cache dir run
+            # segmented (compacted) CBET iteration traces — value-identical
+            # to the plain solve (measured rel-L2 0.0 on chip; exact on the
+            # CPU mesh) and guarded by the dropped-alive-ray counter.  On a
+            # mesh the beam-sharded layout compacts per shard; the scatter
+            # layout falls back unsegmented with a warning (cbet.py)
             cfg_c = (cfg.replace(cbet_segmented=True)
-                     if n_dev == 1 and cache_dir is not None else cfg)
+                     if cache_dir is not None else cfg)
             cbet_result = cbet_solve(cfg_c, ctx, mesh=mesh, backend=backend,
                                      cache_dir=cache_dir)
 

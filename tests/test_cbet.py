@@ -659,3 +659,87 @@ def test_cbet_plan_headroom(two_beam_cfg, profiles, capsys):
     err = capsys.readouterr().err
     assert "dropped" in err and "re-planning gain-proof" in err
     np.testing.assert_allclose(bad.edep, base.edep, rtol=1e-12, atol=0)
+
+
+def test_cbet_mesh_segmented_matches_unsegmented(profiles, capsys):
+    """Beam-sharded segmented CBET on a mesh (4 beams / 2 devices, multiple
+    whole beams per shard): per-iteration traces run statically compacted
+    with per-shard index arrays as sharded arguments, and the fixed point
+    matches the unsegmented mesh solve (same kernels, same partitioning —
+    compaction only removes dead tiles) and the single-device segmented
+    one."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 cbet_max_iters=2, cbet_tol=1e-3, dtype="float64",
+                 chunk_steps=10, tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    mesh = make_mesh(jax.devices()[:2])
+    plain = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    cfg_s = cfg.replace(cbet_segmented=True)
+    capsys.readouterr()
+    seg = cbet_solve(cfg_s, ctx, mesh=mesh, backend="pallas_interpret")
+    assert "falling back" not in capsys.readouterr().err
+    solver = _get_solver(cfg_s, ctx, mesh, "pallas_interpret", None)
+    assert solver.segmented and solver.intensity_mode == "beam_sharded"
+    np.testing.assert_allclose(seg.edep, plain.edep, rtol=1e-12, atol=0)
+    np.testing.assert_allclose(seg.intensity, plain.intensity,
+                               rtol=1e-12, atol=0)
+    for key in ("rays_launched", "rays_terminated", "rays_alive_at_end",
+                "energy_absorbed"):
+        assert seg.stats[key] == plain.stats[key], key
+    # and the single-device segmented fixed point (partitioning noise only)
+    sd = cbet_solve(cfg_s, ctx, backend="pallas_interpret")
+    rel = np.linalg.norm(seg.edep - sd.edep) / np.linalg.norm(sd.edep)
+    assert rel < 2e-6, rel
+
+
+def test_cbet_mesh_segmented_phantom_beams(profiles, capsys):
+    """Segmented mesh CBET with PHANTOM beam padding (5 beams on 2 devices
+    pad to 6, 20% — inside the 25% imbalance budget): phantom beams segment
+    like any other (all-dead from chunk 0, one carried tile each) and the
+    compacted solve matches the unsegmented mesh solve exactly."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=5, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 cbet_max_iters=2, cbet_tol=1e-3, dtype="float64",
+                 chunk_steps=10, tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    mesh = make_mesh(jax.devices()[:2])
+    plain = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    cfg_s = cfg.replace(cbet_segmented=True)
+    capsys.readouterr()
+    seg = cbet_solve(cfg_s, ctx, mesh=mesh, backend="pallas_interpret")
+    assert "falling back" not in capsys.readouterr().err
+    solver = _get_solver(cfg_s, ctx, mesh, "pallas_interpret", None)
+    assert solver.segmented and solver.intensity_mode == "beam_sharded"
+    assert seg.intensity.shape == (5, 24, 24, 24)
+    np.testing.assert_allclose(seg.edep, plain.edep, rtol=1e-12, atol=0)
+    np.testing.assert_allclose(seg.intensity, plain.intensity,
+                               rtol=1e-12, atol=0)
+
+
+def test_cbet_mesh_scatter_layout_segmented_falls_back(two_beam_cfg,
+                                                       profiles, capsys):
+    """cbet_segmented on a beam-straddling (scatter-layout) mesh cannot
+    compact (grouped per-beam segments need whole beams per shard): the
+    solve warns and runs unsegmented rather than erroring or silently
+    compacting wrong."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = two_beam_cfg.replace(cbet_max_iters=1, dtype="float32",
+                               cbet_segmented=True, tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    mesh = make_mesh(jax.devices()[:4])     # 2 beams / 4 devices: straddle
+    capsys.readouterr()
+    res = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    assert "falling back" in capsys.readouterr().err
+    solver = _get_solver(cfg, ctx, mesh, "pallas_interpret", None)
+    assert not solver.segmented
+    assert res.intensity.shape == (2, 40, 40, 40)

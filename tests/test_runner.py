@@ -319,3 +319,28 @@ def test_cli_rejects_bad_flag_values():
                 ["--deposit-backend", "cuda"], ["--dtype", "f32"]):
         with _pytest.raises(SystemExit):
             p.parse_args(bad)
+
+
+def test_run_cbet_cached_mesh_segmented(tmp_path):
+    """run(with_cbet=True, cache_dir=...) on a beam-sharded mesh routes the
+    CBET solve through the per-shard segmented iteration traces (the same
+    compaction the single-chip fast path gets), with results identical to
+    the unsegmented mesh solve."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=32, ny=32, nz=32,
+                 dtype="float64", cbet_max_iters=2, cbet_tol=1e-2,
+                 tiles_per_block=1)
+    mesh = make_mesh(jax.devices()[:2])
+    plain = run(cfg, with_cbet=True, verbose=False, mesh=mesh,
+                backend="pallas_interpret")
+    cached = run(cfg, with_cbet=True, verbose=False, mesh=mesh,
+                 backend="pallas_interpret",
+                 cache_dir=str(tmp_path / "cache"))
+    assert plain.cbet.stats["segmented"] is False
+    assert cached.cbet.stats["segmented"] is True
+    assert cached.cbet.stats["intensity_mode"] == "beam_sharded"
+    np.testing.assert_allclose(cached.cbet.edep, plain.cbet.edep,
+                               rtol=1e-12, atol=0)
+    assert cached.cbet.iterations == plain.cbet.iterations

@@ -109,7 +109,16 @@ class Config:
     #   BASELINE.md).  Requires the batched deposit path
     #   (deposit_batch_steps dividing the chunk lengths); single-device
     #   VMEM-grid Pallas or the XLA scatter backend (tests/CPU).
-    cbet_gain_mode: Literal["lookup", "kernel"] = "lookup"
+    # * "kernel_cell": the window contraction with the LOOKUP mode's exact
+    #   sampling — single-node gain at each step's ENTRY cell (= the
+    #   previous step's post-step cell; the window-entry cell for step 0).
+    #   Gain factors and deposit/intensity increments are then EXACT by
+    #   multiplicative separability; the only residual model deviation is
+    #   in-window termination checks seeing the un-gained energy (measured
+    #   in BASELINE.md).  Currently the XLA-window validation form
+    #   (scatter backend) — the Pallas one-hot contraction is designed,
+    #   not built.
+    cbet_gain_mode: Literal["lookup", "kernel", "kernel_cell"] = "lookup"
     # Per-beam-sliced gain-table gathers in "lookup" mode: the CBET ray
     # layout is beam-contiguous (uniform tiles_per_group), so each beam's
     # slots can gather from its OWN (P,) 4 MB gain row instead of the full

@@ -361,8 +361,9 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 "n_local_beams (beam-sharded intensity) requires the "
                 f"grouped Pallas intensity path; backend={backend!r} with "
                 f"CBET grid z extent {hz + 2} lanes does not support it")
-        if cfg.cbet_gain_mode == "kernel":
-            raise ValueError("cbet_gain_mode='kernel' is single-device only")
+        if cfg.cbet_gain_mode != "lookup":
+            raise ValueError(f"cbet_gain_mode={cfg.cbet_gain_mode!r} is "
+                             "single-device only")
     tpg = (tiles_per_group if tiles_per_group is not None
            else ctx.layout.tiles_per_beam)
     rpt = ctx.layout.rays_per_tile
@@ -375,7 +376,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
     # `batch` steps deferred, then one kernel call per grid with the
     # contraction over batch*rays_per_tile rows — amortizes the fixed
     # per-grid-step and per-matmul kernel costs that dominate at rows=256
-    kernel_gain = cfg.cbet_gain_mode == "kernel"
+    kernel_gain = cfg.cbet_gain_mode in ("kernel", "kernel_cell")
+    kernel_cell = cfg.cbet_gain_mode == "kernel_cell"
     batch = cfg.deposit_batch_steps
     batch_fits = batch > 1 and not (chunk % batch or last_chunk % batch)
     if not batch_fits or not (grouped_pallas or (kernel_gain and not pallas)):
@@ -411,6 +413,11 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 "cbet_gain_mode='kernel' on a Pallas backend is single-"
                 "device VMEM-grid only (beam-contiguous tile groups); use "
                 "'lookup' for pallas_hbm or sharded solves")
+        if kernel_cell and pallas:
+            raise ValueError(
+                "cbet_gain_mode='kernel_cell' is the XLA-window validation "
+                "form (scatter backend only) — the Pallas one-hot "
+                "contraction is not built; use 'kernel' or 'lookup'")
     if batch > 1:
         dstep = rt.make_deferred_step_fn(cfg)
     # the intensity deposit box shrinks with the grid (a tile's 5-step
@@ -521,10 +528,12 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             # row gather); the 1-D take rides the fast row-gather path
             gain_flat = gain.reshape(-1)
 
-            if kernel_gain:
+            if kernel_gain and not kernel_cell:
                 # per-beam gain tables in the grid's own ghost-padded
                 # layout (ghost nodes = zero gain); built once per trace
                 # call — one cheap pad vs ~nt big-table gathers
+                # (kernel_cell samples single un-padded nodes and uses
+                # gain_flat directly)
                 g3 = gain.reshape(nb, nx, ny, nz)
                 if pallas:
                     _, yp_pad, zp_pad = edep_zpad_shape(nx, ny, nz)
@@ -559,7 +568,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 set, (gathered) per-slot beam ids, and beam-group width."""
                 ideposit, edeposit = dep
                 bid_off = bid_l.astype(jnp.int32) * jnp.int32(P)
-                if kernel_gain and not pallas:
+                if kernel_gain and not kernel_cell and not pallas:
                     bid_off_pad = (bid_l.astype(jnp.int32)
                                    * jnp.int32(grid_pad))
 
@@ -628,8 +637,13 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     # cbet_gain_mode="kernel": trilinear gain at every
                     # step's deposit position, contracted inside the deposit
                     # kernel (Pallas) or via 8-corner gathers (XLA scatter
-                    # backend — identical model, the oracle-validation path)
+                    # backend — identical model, the oracle-validation path).
+                    # "kernel_cell": the lookup mode's exact sampling
+                    # (single node at each step's ENTRY cell) applied in
+                    # window form — entry cell j = post-step cell j-1, the
+                    # window-entry cell for j=0
                     state, edep, ibeams, oflow = carry
+                    cells0 = state.cell
                     state, ys = jax.lax.scan(mini_nogain, state, None,
                                              length=batch)
                     if pallas:
@@ -656,16 +670,32 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     # XLA form: same window model on the scatter backend
                     cell, frac = ys[0:3], ys[3:6]      # (batch, N) each
                     inc, dsb, contrib0 = ys[6], ys[7], ys[8]
-                    ones = jnp.ones_like(dsb[0])
-                    gs = []
-                    for j in range(batch):
-                        cj = tuple(c[j] for c in cell)
-                        fj = tuple(f[j] for f in frac)
-                        idx, w = rt._scatter_corner_parts(cfg, cj, fj, ones)
-                        vals = jnp.take(gpad_flat,
-                                        jnp.tile(bid_off_pad, 8) + idx) * w
-                        gs.append(vals.reshape(8, -1).sum(axis=0))
-                    g = jnp.stack(gs)                   # (batch, N)
+                    if kernel_cell:
+                        # exact sampling: g_j at the single node of step
+                        # j's entry cell — with ds/increments this makes
+                        # the window model deviate from the per-step
+                        # lookup ONLY through in-window termination checks
+                        # seeing un-gained energy
+                        gs, prev = [], cells0
+                        for j in range(batch):
+                            fl = (prev[0] * ny + prev[1]) * nz + prev[2]
+                            gs.append(jnp.take(gain_flat, bid_off + fl,
+                                               axis=0))
+                            prev = tuple(c[j] for c in cell)
+                        g = jnp.stack(gs)               # (batch, N)
+                    else:
+                        ones = jnp.ones_like(dsb[0])
+                        gs = []
+                        for j in range(batch):
+                            cj = tuple(c[j] for c in cell)
+                            fj = tuple(f[j] for f in frac)
+                            idx, w = rt._scatter_corner_parts(cfg, cj, fj,
+                                                              ones)
+                            vals = jnp.take(
+                                gpad_flat,
+                                jnp.tile(bid_off_pad, 8) + idx) * w
+                            gs.append(vals.reshape(8, -1).sum(axis=0))
+                        g = jnp.stack(gs)               # (batch, N)
                     gam = jnp.exp(jnp.clip(g * dsb, -GAIN_CLIP, GAIN_CLIP))
                     gcum = jnp.cumprod(gam, axis=0)
                     inc_c = inc * gcum

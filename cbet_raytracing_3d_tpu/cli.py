@@ -142,7 +142,12 @@ def main(argv=None) -> int:
             print(f"--pairs: expected 'beam:ray,beam:ray,...', "
                   f"got {args.pairs!r}", file=sys.stderr)
             return 2
-        traj = track_rays(cfg, [p[0] for p in pairs], [p[1] for p in pairs])
+        try:
+            traj = track_rays(cfg, [p[0] for p in pairs],
+                              [p[1] for p in pairs])
+        except ValueError as e:     # out-of-range ids: same clean error
+            print(f"--pairs: {e}", file=sys.stderr)  # path as malformed ones
+            return 2
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         traj.save_npz(args.out)
         print(json.dumps({

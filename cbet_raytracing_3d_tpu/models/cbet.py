@@ -64,6 +64,18 @@ from . import raytracer as rt
 GAIN_CLIP = 0.1
 
 
+class DroppedAliveRaysError(RuntimeError):
+    """The segmented CBET trace's compaction dropped a still-alive ray.
+
+    At ``cbet_plan_headroom > 0`` this means the headroom's liveness
+    assumption was violated (a ray was amplified past its planned-death
+    threshold) — ``cbet_solve`` catches exactly this type and retries with
+    a gain-proof (headroom-0) plan.  At headroom 0 it means a stale plan
+    cache and propagates.  A dedicated type, not a message match: generic
+    RuntimeErrors from the runtime (device/tunnel failures) must never
+    trigger the expensive re-plan-and-re-solve path."""
+
+
 @dataclasses.dataclass
 class CbetResult:
     edep: np.ndarray          # ghost-padded deposition with CBET-coupled rays
@@ -1140,12 +1152,12 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
             of, nd = (int(x) for x in jax.device_get((of, dropped)))
             if nd:
                 if cfg.cbet_plan_headroom > 0.0:
-                    raise RuntimeError(
+                    raise DroppedAliveRaysError(
                         f"CBET compaction dropped {nd} still-alive rays — "
                         f"the cbet_plan_headroom={cfg.cbet_plan_headroom} "
                         "liveness assumption was violated (a ray was "
                         "amplified past its planned-death threshold)")
-                raise RuntimeError(
+                raise DroppedAliveRaysError(
                     f"CBET compaction dropped {nd} still-alive rays — the "
                     "gain-proof tile plan was violated (stale plan cache?); "
                     "clear the plan cache or set cbet_segmented=False")
@@ -1210,8 +1222,8 @@ def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
     assumption."""
     try:
         return _cbet_solve_once(cfg, ctx, mesh, backend, verbose, cache_dir)
-    except RuntimeError as e:
-        if cfg.cbet_plan_headroom <= 0.0 or "dropped" not in str(e):
+    except DroppedAliveRaysError as e:
+        if cfg.cbet_plan_headroom <= 0.0:
             raise
         import sys
         print(f"warning: {e} — re-planning gain-proof (headroom 0) and "

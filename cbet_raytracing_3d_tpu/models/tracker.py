@@ -164,6 +164,14 @@ def track_rays(cfg: Config, beams, ray_ids,
         raise ValueError("beam or ray id out of range")
     if ctx is None:
         ctx = prepare(cfg, prof=prof, beam_norm=beam_norm)
+    elif ctx.cfg != cfg:
+        # the track fn's flat field4 indices and the slot map are built
+        # from cfg; a context prepared under a different config would be
+        # read with the wrong strides — jnp.take clamps under jit, so the
+        # mismatch would record silently-wrong trajectories, not crash
+        raise ValueError(
+            "track_rays: cfg does not match ctx.cfg — pass the context's "
+            "own config or rebuild the context for this one")
     if ctx.compact:
         raise ValueError(
             "track_rays needs a host-prepared context (raytracer.prepare); "

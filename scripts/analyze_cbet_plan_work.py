@@ -29,11 +29,6 @@ def seg_work(segments):
                for s in segments)
 
 
-def beam_seg_work(segments, tpgs, nbeams):
-    return sum(int(s.tiles.shape[0]) * sum(int(c) for c in s.chunk_lengths)
-               for s in segments)
-
-
 def main():
     cfg = Config(cbet_segmented=True)
     # the compact per-beam block-padded layout the CBET solver plans on
@@ -59,8 +54,8 @@ def main():
     segs = tp.build_segments(plans["normal"], cfg, cfg.nt)
     rows["plain build_segments(normal)"] = seg_work(segs)
     for label, plan in plans.items():
-        bs, tpgs = tp.build_beam_segments(plan, cfg, cfg.nt, cfg.nbeams)
-        rows[f"beam_segments({label})"] = beam_seg_work(bs, tpgs, cfg.nbeams)
+        bs, _tpgs = tp.build_beam_segments(plan, cfg, cfg.nt, cfg.nbeams)
+        rows[f"beam_segments({label})"] = seg_work(bs)
         # also: how much of the padding is the per-beam max (vs global sort)
         segs_g = tp.build_segments(plan, cfg, cfg.nt)
         rows[f"plain build_segments({label})"] = seg_work(segs_g)

@@ -661,6 +661,26 @@ def test_cbet_plan_headroom(two_beam_cfg, profiles, capsys):
     np.testing.assert_allclose(bad.edep, base.edep, rtol=1e-12, atol=0)
 
 
+def test_cbet_retry_only_on_dropped_alive(two_beam_cfg, monkeypatch):
+    """The headroom retry catches only DroppedAliveRaysError: a generic
+    RuntimeError from the runtime (e.g. a device/tunnel failure whose
+    message happens to mention 'dropped') must propagate immediately
+    instead of burning a full re-plan + re-solve."""
+    import cbet_raytracing_3d_tpu.models.cbet as cbet_mod
+
+    calls = []
+
+    def boom(*a, **kw):
+        calls.append(1)
+        raise RuntimeError("remote connection dropped by peer")
+
+    monkeypatch.setattr(cbet_mod, "_cbet_solve_once", boom)
+    cfg = two_beam_cfg.replace(cbet_plan_headroom=0.5)
+    with pytest.raises(RuntimeError, match="connection dropped"):
+        cbet_mod.cbet_solve(cfg, ctx=None)
+    assert calls == [1]     # no retry happened
+
+
 def test_cbet_mesh_segmented_matches_unsegmented(profiles, capsys):
     """Beam-sharded segmented CBET on a mesh (4 beams / 2 devices, multiple
     whole beams per shard): per-iteration traces run statically compacted

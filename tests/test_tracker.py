@@ -114,6 +114,15 @@ def test_rejects_bad_ids(ctx64):
         track_rays(ctx64.cfg, [0, 1], [0], ctx=ctx64)
 
 
+def test_rejects_mismatched_cfg(ctx64):
+    """A (cfg, ctx) pair from different configs would read field4/slot maps
+    with the wrong strides — jnp.take clamps under jit, so without this
+    guard the mismatch records silently-wrong trajectories, not a crash."""
+    other = ctx64.cfg.replace(rays_per_zone=2)
+    with pytest.raises(ValueError, match="ctx.cfg"):
+        track_rays(other, [0], [0], ctx=ctx64)
+
+
 def test_cli_track(tmp_path):
     import json
     import os
@@ -147,3 +156,12 @@ def test_cli_track_rejects_bad_pairs():
         capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo")
     assert out.returncode == 2
     assert "beam:ray" in out.stderr
+    # out-of-range ids take the same clean error path (exit 2, one-line
+    # message), not an uncaught ValueError traceback
+    out = subprocess.run(
+        [sys.executable, "-m", "cbet_raytracing_3d_tpu.cli", "track",
+         "--pairs", "99:0"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo")
+    assert out.returncode == 2
+    assert "out of range" in out.stderr
+    assert "Traceback" not in out.stderr

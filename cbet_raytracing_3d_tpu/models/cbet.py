@@ -584,14 +584,17 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     bid_off_pad = (bid_l.astype(jnp.int32)
                                    * jnp.int32(grid_pad))
 
-                def lookup_g(state):
+                def lookup_g(state, flat=None):
                     # the lookup table is ALWAYS full-resolution (coarsened
                     # gain fields are trilinearly upsampled once per fixed-
                     # point iteration, cbet_solve) — nearest-coarse-node
                     # lookups were measured to distort the coupled edep by
-                    # >half the CBET effect on the two-beam validation scene
-                    cx, cy, cz = state.cell
-                    flat = (cx * ny + cy) * nz + cz
+                    # >half the CBET effect on the two-beam validation scene.
+                    # ``flat`` (precomputed flat cell indices) lets the
+                    # kernel_cell window branch reuse the sliced fast path.
+                    if flat is None:
+                        cx, cy, cz = state.cell
+                        flat = (cx * ny + cy) * nz + cz
                     if cfg.cbet_gain_sliced and not intensity_scatter:
                         # per-beam-sliced gathers (identical values): each
                         # beam's contiguous slot block reads its own 4 MB
@@ -691,8 +694,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                         gs, prev = [], cells0
                         for j in range(batch):
                             fl = (prev[0] * ny + prev[1]) * nz + prev[2]
-                            gs.append(jnp.take(gain_flat, bid_off + fl,
-                                               axis=0))
+                            # route through lookup_g so the per-beam-sliced
+                            # small-table fast path applies here too (it
+                            # only needs the flat cell index)
+                            gs.append(lookup_g(None, flat=fl))
                             prev = tuple(c[j] for c in cell)
                         g = jnp.stack(gs)               # (batch, N)
                     else:
@@ -855,6 +860,11 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     # per-shard index arrays from seg_args ((1, ...) blocks
                     # inside shard_map); the prev-segment tile width is
                     # static: n_local beams x that segment's tiles-per-beam
+                    if seg_args is None:
+                        raise ValueError(
+                            "beam-sharded segmented CBET trace requires "
+                            "seg_args (the per-shard split_beam_segments "
+                            "index arrays)")
                     og, gt = seg_args
                     origins_l = [o[0] for o in og]
                     gathers_l = [(nb_g * seg_tpgs[i], gt[i][0][0],

@@ -217,6 +217,29 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
     if ablate == "no_mbuild":
         mb = jnp.full((r, bx * byk), 0.01, cdt)
+    elif ablate == "small_hats":
+        # candidate build (identical values): per-axis hats on SMALL
+        # (R, bx)/(R, byk) planes, combined by bx broadcast-multiplies on
+        # the lane dim — ~2-3 VPU passes over (R, A) instead of ~9
+        iota_x = jax.lax.broadcasted_iota(
+            jnp.int32, (r, bx), 1).astype(jnp.float32)
+        iota_y = jax.lax.broadcasted_iota(
+            jnp.int32, (r, byk), 1).astype(jnp.float32)
+        hx = hat(iota_x, qx)
+        hy = hat(iota_y, qy)
+        mb = jnp.concatenate([hx[:, x:x + 1] * hy for x in range(bx)],
+                             axis=1).astype(cdt)
+    elif ablate == "outer_reshape":
+        # candidate build: one 3-D outer product collapsed to lanes (works
+        # only if Mosaic can merge the two minor dims cheaply)
+        iota_x = jax.lax.broadcasted_iota(
+            jnp.int32, (r, bx), 1).astype(jnp.float32)
+        iota_y = jax.lax.broadcasted_iota(
+            jnp.int32, (r, byk), 1).astype(jnp.float32)
+        hx = hat(iota_x, qx)
+        hy = hat(iota_y, qy)
+        mb = (hx[:, :, None] * hy[:, None, :]).reshape(
+            r, bx * byk).astype(cdt)
     else:
         # (bf16 hat arithmetic measured SLOWER — the VPU has no 2x
         # bf16 rate and the casts add passes)

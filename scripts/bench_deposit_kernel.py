@@ -101,6 +101,10 @@ def main():
             dep = make_tile_deposit(NX, NY, NZ, R, box=BOX,
                                     tiles_per_block=TB, _ablate="no_mbuild")
             run("const mb (no M-build)", dep, args)
+        elif v in ("small_hats", "outer_reshape"):
+            dep = make_tile_deposit(NX, NY, NZ, R, box=BOX,
+                                    tiles_per_block=TB, _ablate=v)
+            run(f"mb via {v}", dep, args)
         elif v == "bf16_hats":
             dep = make_tile_deposit(NX, NY, NZ, R, box=BOX,
                                     tiles_per_block=TB, _ablate="bf16_hats")

@@ -26,6 +26,31 @@ Phase accounting mirrors the reference's Init/Tracing timers
 (backend_init_seconds): the reference's CUDA context creation is part of its
 Init, but the remote-TPU tunnel handshake has no reference analog and would
 dominate the comparison.
+
+Output fields (the last JSON line is the complete record):
+  value / vs_baseline / vs_baseline_range — ray-steps/s/chip and its ratio
+      to the BASELINE.md sm_70 cost model midpoint (and range endpoints).
+  trace_seconds — min of 5 timed full traces, scalar-fenced (tunnel
+      variance is ~10%; the min is the least-polluted sample).
+  trace_seconds_median — the median of the same 5 (spread diagnostic).
+  dispatch_overhead_seconds — round-trip of an empty jitted call through
+      the tunnel (~40-50 ms); INCLUDED in trace_seconds (not subtracted) —
+      a local-PCIe deployment would not pay it; the reference's analog is
+      a ~us kernel launch.
+  edep_fetch_seconds — D2H of the 5.4 MB grid through the ~22 MB/s debug
+      tunnel, reported separately (the reference's D2H is ~1 ms of PCIe).
+  init_seconds — first on-device init (includes its one-time jit compile)
+      plus trace-function build; excludes the tile plan (below) and the
+      steady-init re-measurement (instrumentation).
+  init_steady_seconds — a second on-device init (compile amortized): the
+      steady-state Init a production run pays.
+  tile_plan_seconds — measure-or-load of the static segmentation plan
+      (disk-cached per config+scene).
+  compile_seconds — first trace call minus the steady trace (XLA+Mosaic
+      compile or persistent-cache load).
+  backend_init_seconds — tunnel/backend bring-up (no reference analog).
+  cbet_* — converged exact-model CBET solve (warmup = solver build +
+      1-iteration compile absorb; result fetch reported separately).
 """
 
 import dataclasses
@@ -57,7 +82,9 @@ def main() -> int:
     t_backend = time.perf_counter() - t_backend0
 
     cfg = Config()
-    t_init0 = time.perf_counter()
+    # straight-line phase accounting: each phase gets its own timer and
+    # init_seconds is an explicit SUM (no mid-measurement mutation)
+    t0 = time.perf_counter()
     mesh = sh.make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
     if jax.default_backend() != "cpu":
@@ -68,18 +95,16 @@ def main() -> int:
         ctx = rt.prepare_device(cfg)
         state0 = sh.pad_rays(ctx.state0, n_dev * ctx.layout.rays_per_tile
                              * cfg.tiles_per_block)
-        # steady-state Init: a second on-device init with the one-time XLA
-        # compile absorbed (the reference's analog of that compile is nvcc
-        # build time, which its Init never counts — main.cu:131-154 is
-        # buffer uploads).  init_seconds below still reports the full
-        # first-call cost including compile; this re-measurement block is
-        # excluded from it (it is instrumentation, not init work).
         jax.device_get(state0.uray[0])
+        t_init_first = time.perf_counter() - t0
+        # steady-state Init (instrumentation, excluded from init_seconds):
+        # a second on-device init with the one-time XLA compile absorbed
+        # (the reference's analog of that compile is nvcc build time,
+        # which its Init never counts — main.cu:131-154 is buffer uploads)
         t0 = time.perf_counter()
         ctx_w = rt.prepare_device(cfg)
         jax.device_get(ctx_w.state0.uray[0])
         t_init_steady = time.perf_counter() - t0
-        t_init0 += t_init_steady
         del ctx_w
     else:
         # CPU fallback: host-state init — subset/pad in NumPy, one
@@ -89,13 +114,15 @@ def main() -> int:
             rt.select_rays(ctx.state0, ctx.live_slots),
             n_dev * ctx.layout.rays_per_tile * cfg.tiles_per_block))
         ctx = dataclasses.replace(ctx, field4=jax.numpy.asarray(ctx.field4))
+        t_init_first = time.perf_counter() - t0
         t_init_steady = None
     # statically compacted (segmented) trace, single- or multi-device; the
     # tile plan is measured once per config+scene and disk-cached
     from cbet_raytracing_3d_tpu.models import tileplan as tp
-    t_init_pre_plan = time.perf_counter() - t_init0
+    t0 = time.perf_counter()
     plan = tp.get_or_measure_plan(cfg, ctx, state0, ".cbet_cache")
-    t_plan = time.perf_counter() - t_init0 - t_init_pre_plan
+    t_plan = time.perf_counter() - t0
+    t0 = time.perf_counter()
     if n_dev == 1:
         segments = tp.build_segments(plan, cfg, cfg.nt)
         fn = jax.jit(rt.make_segmented_trace_fn(
@@ -108,7 +135,7 @@ def main() -> int:
         # reorder the SAME state the plan was measured on device-major
         state0 = sh.device_major_state(state0, ctx.layout.rays_per_tile,
                                        dseg)
-    t_init = time.perf_counter() - t_init0 - t_plan
+    t_init = t_init_first + (time.perf_counter() - t0)
 
     # compile + first run (axon caveat: block_until_ready is a no-op on the
     # tunneled backend — fence with a device_get).  The fence is the SCALAR
@@ -129,6 +156,19 @@ def main() -> int:
         jax.device_get(oflow)
         times.append(time.perf_counter() - t0)
     t_trace = min(times)
+    t_trace_med = sorted(times)[len(times) // 2]
+
+    # per-call tunnel round-trip (empty jitted call, scalar-fenced): the
+    # dispatch overhead INSIDE each timed trace above (~40-50 ms through
+    # the tunnel; a local deployment pays ~us).  Reported, not subtracted.
+    nop = jax.jit(lambda x: x + 1)
+    jax.device_get(nop(jax.numpy.zeros(8)))
+    d_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(nop(jax.numpy.zeros(8)))
+        d_times.append(time.perf_counter() - t0)
+    t_dispatch = min(d_times)
     t0 = time.perf_counter()
     edep_h = jax.device_get(edep)
     t_fetch = time.perf_counter() - t0
@@ -150,6 +190,8 @@ def main() -> int:
         "vs_baseline_range": [round(value / BASELINE_RANGE[1], 3),
                               round(value / BASELINE_RANGE[0], 3)],
         "trace_seconds": round(t_trace, 3),
+        "trace_seconds_median": round(t_trace_med, 3),
+        "dispatch_overhead_seconds": round(t_dispatch, 3),
         "edep_fetch_seconds": round(t_fetch, 3),
         "init_seconds": round(t_init, 3),
         **({"init_steady_seconds": round(t_init_steady, 3)}

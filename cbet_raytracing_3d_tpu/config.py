@@ -101,23 +101,29 @@ class Config:
     #   step's deposit position, computed INSIDE the deposit kernel as the
     #   transpose of the deposit contraction (reuses the same hat/M
     #   matrices; ~+50% MXU, zero gathers).  The window's per-step factors
-    #   are cumulative-multiplied and applied to deposits in-kernel, to the
-    #   intensity contributions and ray energies after it — exact by
-    #   multiplicative separability of gain and absorption; the one model
-    #   deviation is that in-window termination checks see the un-gained
-    #   energy (bounded by the clipped per-step gain, measured in
-    #   BASELINE.md).  Requires the batched deposit path
-    #   (deposit_batch_steps dividing the chunk lengths); single-device
-    #   VMEM-grid Pallas or the XLA scatter backend (tests/CPU).
+    #   are cumulative-multiplied and applied to deposits in-kernel and to
+    #   the intensity contributions/ray energies after it — exact by
+    #   multiplicative separability of gain and absorption, with the EXACT
+    #   termination rule applied in-kernel from the true gained energy.
+    #   The trilinear sampling position (vs the lookup's entry-cell node)
+    #   is the mode's only model deviation (measured in BASELINE.md).
+    #   Requires the batched deposit path (deposit_batch_steps dividing
+    #   the chunk lengths); single-device VMEM-grid Pallas or the XLA
+    #   scatter backend (tests/CPU).
     # * "kernel_cell": the window contraction with the LOOKUP mode's exact
     #   sampling — single-node gain at each step's ENTRY cell (= the
-    #   previous step's post-step cell; the window-entry cell for step 0).
-    #   Gain factors and deposit/intensity increments are then EXACT by
-    #   multiplicative separability; the only residual model deviation is
-    #   in-window termination checks seeing the un-gained energy (measured
-    #   in BASELINE.md).  Currently the XLA-window validation form
-    #   (scatter backend) — the Pallas one-hot contraction is designed,
-    #   not built.
+    #   previous step's post-step cell; the window-entry cell for step 0),
+    #   selected in-kernel by one-hot rows against the beam's gain window.
+    #   With the exact in-kernel termination rule this mode is IDENTICAL
+    #   to the per-step lookup on every parity-bearing output (edep,
+    #   intensity, uray, alive — tested to ~1e-12 in f64); only the
+    #   positions/velocities of mid-window energy-dead rays differ (frozen
+    #   at the window end instead of the death step), which no output
+    #   depends on.  Same path requirements as "kernel"; it removes the
+    #   dominant per-step gain gathers from the CBET iteration at zero
+    #   model cost.  NOTE: kernel_cell gain lookups bypass the
+    #   cbet_gain_sliced per-beam fast path only on the Pallas form (the
+    #   XLA form routes through it).
     cbet_gain_mode: Literal["lookup", "kernel", "kernel_cell"] = "lookup"
     # Per-beam-sliced gain-table gathers in "lookup" mode: the CBET ray
     # layout is beam-contiguous (uniform tiles_per_group), so each beam's
@@ -130,6 +136,14 @@ class Config:
     # the exact 60-beam solve 181.3 -> 131.8 s (-27%) with bit-identical
     # results — default on.
     cbet_gain_sliced: bool = True
+    # Pad the sliced per-beam gain rows to 2-wide (value duplicated):
+    # 1-wide (4 B) gather rows measured 1.6x SLOWER than 2-wide (9.1 vs
+    # 5.6 ms/step at 1.23M rows — artifacts/gather_dedup_r04.json), so the
+    # duplicated table buys ~40% on the dominant CBET gain-gather cost for
+    # 2x its HBM footprint.  None = auto: enabled when the duplicated
+    # table stays under ~1.5 GB (ON at OMEGA's 480 MB, OFF at config-4's
+    # 3.9 GB full-res lookup table).  Values are identical either way.
+    cbet_gain_rows2: bool | None = None
     # Static mid-trace tile compaction inside the CBET fixed-point traces:
     # the tile plan is measured with stop_fraction=0 — rays then live until
     # box exit, a strict superset of liveness under ANY gain (gain never

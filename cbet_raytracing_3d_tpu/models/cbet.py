@@ -422,16 +422,23 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         if pallas and (backend.startswith("pallas_hbm")
                        or intensity_scatter):
             raise ValueError(
-                "cbet_gain_mode='kernel' on a Pallas backend is single-"
-                "device VMEM-grid only (beam-contiguous tile groups); use "
-                "'lookup' for pallas_hbm or sharded solves")
-        if kernel_cell and pallas:
-            raise ValueError(
-                "cbet_gain_mode='kernel_cell' is the XLA-window validation "
-                "form (scatter backend only) — the Pallas one-hot "
-                "contraction is not built; use 'kernel' or 'lookup'")
+                "cbet_gain_mode='kernel'/'kernel_cell' on a Pallas backend "
+                "is single-device VMEM-grid only (beam-contiguous tile "
+                "groups); use 'lookup' for pallas_hbm or sharded solves")
     if batch > 1:
         dstep = rt.make_deferred_step_fn(cfg)
+    if kernel_gain:
+        # the window mini-scan advances WITHOUT the energy stop rule:
+        # trajectories are energy-independent, and the exact rule is
+        # applied by the window-gain machinery itself (which knows the
+        # true gained energy u_nogain * gcum per step) — deposits are
+        # masked past each ray's true death step and uray/alive are
+        # restored exactly at the window boundary.  Only positions/vel of
+        # mid-window energy-dead rays differ from the per-step lookup
+        # (frozen at window end instead of the death step) — no
+        # parity-bearing output depends on them.
+        dstep_win = rt.make_deferred_step_fn(cfg.replace(stop_fraction=0.0))
+        stop_frac_w = cfg.stop_fraction
     # the intensity deposit box shrinks with the grid (a tile's 5-step
     # window spans ~1/s as many coarse nodes); +4 margin, and the overflow
     # counter still hard-errors if it ever falls short
@@ -450,7 +457,9 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 edeposit_s = make_tile_deposit(
                     nx, ny, nz, rpt * batch, box=cfg.deposit_box,
                     tiles_per_block=cfg.tiles_per_block,
-                    gain_window=(nb, tpg_s, batch, GAIN_CLIP),
+                    gain_window=(nb, tpg_s, batch, GAIN_CLIP,
+                                 "cell" if kernel_cell else "tri",
+                                 cfg.stop_fraction),
                     interpret=backend.endswith("_interpret"),
                     precise=kernel_precise)
             elif pallas:
@@ -539,13 +548,24 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
             # ~4x-slower gather path (21 ms/step vs ~5 for the 4-wide field
             # row gather); the 1-D take rides the fast row-gather path
             gain_flat = gain.reshape(-1)
+            # 2-wide sliced gain rows (Config.cbet_gain_rows2): 1-wide
+            # gather rows pay a measured 1.6x penalty, so the sliced
+            # lookups gather from a value-duplicated (B, P, 2) table when
+            # it fits.  Built once per trace call (outside the step scans).
+            rows2 = cfg.cbet_gain_rows2
+            if rows2 is None:
+                rows2 = int(gain.size) * gain.dtype.itemsize * 2 <= 1.5e9
+            gain_src = (jnp.stack([gain, gain], axis=-1)
+                        if rows2 and cfg.cbet_gain_sliced
+                        and not intensity_scatter else gain)
 
-            if kernel_gain and not kernel_cell:
+            if kernel_gain:
                 # per-beam gain tables in the grid's own ghost-padded
                 # layout (ghost nodes = zero gain); built once per trace
-                # call — one cheap pad vs ~nt big-table gathers
-                # (kernel_cell samples single un-padded nodes and uses
-                # gain_flat directly)
+                # call — one cheap pad vs ~nt big-table gathers.  The XLA
+                # kernel_cell branch samples single un-padded nodes and
+                # uses gain_flat directly; the Pallas kernels need the
+                # padded table in both modes.
                 g3 = gain.reshape(nb, nx, ny, nz)
                 if pallas:
                     _, yp_pad, zp_pad = edep_zpad_shape(nx, ny, nz)
@@ -553,27 +573,33 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                         g3.astype(jnp.float32),
                         ((0, 0), (1, 1), (1, yp_pad - ny - 1),
                          (1, zp_pad - nz - 1)))
-                else:
+                elif not kernel_cell:
                     gpad_flat = jnp.pad(
                         g3, ((0, 0), (1, 1), (1, 1), (1, 1))).reshape(-1)
                     grid_pad = (nx + 2) * (ny + 2) * (nz + 2)
 
             def mini_nogain(st, _):
-                # window model: advance WITHOUT gain (gain and absorption
-                # are both multiplicative on uray, so the window's
-                # cumulative gain factors apply exactly afterwards); ds is
-                # the step-entry path element — the SAME quadrature as the
-                # lookup mode's apply_gain, so the g->0 limit of the two
-                # modes is identical — and zero on dead rays so their
-                # window factor is exactly 1
+                # window model: advance WITHOUT gain and WITHOUT the energy
+                # stop rule (gain and absorption are both multiplicative on
+                # uray, so the window's cumulative gain factors apply
+                # exactly afterwards; the exact termination rule is applied
+                # by the window machinery from the true gained energy); ds
+                # is the step-entry path element — the SAME quadrature as
+                # the lookup mode's apply_gain, so the g->0 limit of the
+                # two modes is identical — and zero on dead rays so their
+                # window factor is exactly 1.  Emits the gain-free
+                # post-step energy and the launch energy so the exact
+                # death rule (u_nogain * gcum <= stop * uinit) can be
+                # evaluated per step downstream.
                 ds = jnp.sqrt((st.vel[0] * dvec[0]) ** 2
                               + (st.vel[1] * dvec[1]) ** 2
                               + (st.vel[2] * dvec[2]) ** 2)
                 ds = jnp.where(st.alive, ds, jnp.asarray(0, dtype))
-                st, (cell, frac, inc) = dstep(st, field4)
+                st, (cell, frac, inc) = dstep_win(st, field4)
                 contrib0 = jnp.where(st.alive, st.uray * (ds * inv_cdt),
                                      jnp.asarray(0.0, dtype))
-                return st, (*cell, *frac, inc, ds, contrib0)
+                return st, (*cell, *frac, inc, ds, contrib0,
+                            st.uray, st.uray_init)
 
             def make_chunk_body(dep, bid_l, tpg_s):
                 """The per-chunk scan body, bound to one segment's deposit
@@ -614,7 +640,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                 " — pass the matching tiles_per_group or "
                                 "disable slicing")
                         if n_local_beams is None:
-                            rows = [gain[b] for b in range(nb_g)]
+                            rows = [gain_src[b] for b in range(nb_g)]
                         else:
                             from ..parallel.sharding import AXIS as _AX
                             b0 = jax.lax.axis_index(_AX) * n_local_beams
@@ -622,11 +648,14 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                             # clamp to the last row — harmless: all their
                             # slots are dead, apply_gain masks them out
                             rows = [jax.lax.dynamic_index_in_dim(
-                                        gain, b0 + b, 0, keepdims=False)
+                                        gain_src, b0 + b, 0, keepdims=False)
                                     for b in range(nb_g)]
-                        return jnp.concatenate([
+                        taken = [
                             jnp.take(row, flat[b * W:(b + 1) * W], axis=0)
-                            for b, row in enumerate(rows)])
+                            for b, row in enumerate(rows)]
+                        if gain_src.ndim == 3:    # 2-wide rows: keep col 0
+                            taken = [t[:, 0] for t in taken]
+                        return jnp.concatenate(taken)
                     return jnp.take(gain_flat, bid_off + flat, axis=0)
 
                 def apply_gain(state, g=None):
@@ -656,7 +685,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     # "kernel_cell": the lookup mode's exact sampling
                     # (single node at each step's ENTRY cell) applied in
                     # window form — entry cell j = post-step cell j-1, the
-                    # window-entry cell for j=0
+                    # window-entry cell for j=0.  Both modes apply the
+                    # EXACT termination rule from the true gained energy
+                    # (see mini_nogain): kernel_cell is therefore
+                    # IDENTICAL to the per-step lookup model.
                     state, edep, ibeams, oflow = carry
                     cells0 = state.cell
                     state, ys = jax.lax.scan(mini_nogain, state, None,
@@ -667,8 +699,14 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                     .transpose(1, 0, 2).reshape(-1))
 
                         args = [rearrange(a) for a in ys]
-                        edep, of_e, gamma = edeposit(edep, *args[:8],
-                                                     gain_tab)
+                        dep_args = args[:8] + [args[9], args[10]]
+                        if kernel_cell:
+                            lag = tuple(
+                                jnp.concatenate([c0[None], cs[:-1]], axis=0)
+                                for c0, cs in zip(cells0, ys[0:3]))
+                            dep_args += [rearrange(a) for a in lag]
+                        edep, of_e, gamma, uout = edeposit(
+                            edep, *dep_args, gain_tab)
                         of_i = jnp.int32(0)
                         if "no_intensity" not in _ablate:
                             contrib = args[8] * gamma.reshape(-1).astype(
@@ -676,21 +714,20 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                             icell, ifrac = to_coarse(args[:3], args[3:6])
                             ibeams, of_i = ideposit(ibeams, *icell, *ifrac,
                                                     contrib)
-                        glast = (gamma.reshape(-1, batch, rpt)[:, -1, :]
-                                 .reshape(-1).astype(dtype))
-                        state = dataclasses.replace(state,
-                                                    uray=state.uray * glast)
+                        uout_f = uout.reshape(-1).astype(dtype)
+                        state = dataclasses.replace(
+                            state, uray=uout_f,
+                            alive=state.alive & (
+                                uout_f > stop_frac_w * state.uray_init))
                         return (state, edep, ibeams,
                                 oflow + of_e + of_i), None
                     # XLA form: same window model on the scatter backend
                     cell, frac = ys[0:3], ys[3:6]      # (batch, N) each
                     inc, dsb, contrib0 = ys[6], ys[7], ys[8]
+                    u_ng, uinit_b = ys[9], ys[10]
                     if kernel_cell:
                         # exact sampling: g_j at the single node of step
-                        # j's entry cell — with ds/increments this makes
-                        # the window model deviate from the per-step
-                        # lookup ONLY through in-window termination checks
-                        # seeing un-gained energy
+                        # j's entry cell
                         gs, prev = [], cells0
                         for j in range(batch):
                             fl = (prev[0] * ny + prev[1]) * nz + prev[2]
@@ -715,7 +752,20 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                         g = jnp.stack(gs)               # (batch, N)
                     gam = jnp.exp(jnp.clip(g * dsb, -GAIN_CLIP, GAIN_CLIP))
                     gcum = jnp.cumprod(gam, axis=0)
-                    inc_c = inc * gcum
+                    # exact termination: died_j = true gained energy at or
+                    # below the stop threshold; deposits masked from the
+                    # step AFTER the first death (the killing step still
+                    # deposits — the lookup order), intensity masked FROM
+                    # the killing step (the lookup's post-step alive mask)
+                    u_true = u_ng * gcum                # (batch, N)
+                    thr = stop_frac_w * uinit_b
+                    died = (u_true <= thr).astype(dtype)
+                    anydied = jax.lax.cummax(died, axis=0)
+                    prev_any = jnp.concatenate(
+                        [jnp.zeros_like(anydied[:1]), anydied[:-1]])
+                    medep = 1.0 - prev_any
+                    mint = 1.0 - anydied
+                    inc_c = inc * gcum * medep
                     grid_elems = (hx + 2) * (hy + 2) * (hz + 2)
                     for j in range(batch):
                         cj = tuple(c[j] for c in cell)
@@ -727,13 +777,20 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                         if "no_intensity" not in _ablate:
                             icell, ifrac = to_coarse(cj, fj)
                             idx2, val2 = rt._scatter_corner_parts(
-                                cfg, icell, ifrac, contrib0[j] * gcum[j],
+                                cfg, icell, ifrac,
+                                contrib0[j] * gcum[j] * mint[j],
                                 dims=(hx, hy, hz))
                             off = jnp.concatenate([bid_l * grid_elems] * 8)
                             ibeams = ibeams.reshape(-1).at[idx2 + off].add(
                                 val2).reshape(ibeams.shape)
-                    state = dataclasses.replace(state,
-                                                uray=state.uray * gcum[-1])
+                    # frozen true energy: at the first death step, else the
+                    # window end
+                    uout = ((u_true * died * medep).sum(axis=0)
+                            + u_true[-1] * (1.0 - anydied[-1]))
+                    state = dataclasses.replace(
+                        state, uray=uout,
+                        alive=state.alive & (
+                            uout > stop_frac_w * state.uray_init))
                     return (state, edep, ibeams, oflow), None
 
                 def step(carry, _):

@@ -163,6 +163,35 @@ def build_tile_layout(cfg: Config, with_slots: bool = True) -> TileLayout:
                       n_slots=n_slots, slot_of=slot_of)
 
 
+def slots_of_rays(cfg: Config, beams, ray_ids):
+    """Closed-form tile-layout coordinates for (beam, pre_raynum) pairs:
+    returns ``(gtile, rit)`` — the global tile id and the ray's index
+    within the tile — the SAME formula :func:`build_tile_layout`
+    vectorizes over all rays, evaluated only at the requested ids
+    (O(len(ids)) instead of the O(nbeams*nrays) ``slot_of`` map).
+
+    Full-layout slot = ``gtile * rays_per_tile + rit`` (identical to
+    ``slot_of[beam, ray_id]``, tested); compact (prepare_device) layouts
+    map ``gtile`` through the traced tile order (:func:`live_tile_ids`)
+    first."""
+    rpz = cfg.rays_per_zone
+    zones = cfg.zones_spanned
+    tz = cfg.tile_zones
+    side = tz * rpz
+    ntiles_axis = -(-zones // tz)
+    tiles_per_beam = build_tile_layout(cfg, with_slots=False).tiles_per_beam
+    kk = np.asarray(ray_ids, np.int64)
+    b1, b2 = kk // (rpz * rpz), kk % (rpz * rpz)
+    zy, zx = b1 // zones, b1 % zones
+    ry2, rx2 = b2 // rpz, b2 % rpz
+    tx, ty = zx // tz, zy // tz
+    lx = (zx % tz) * rpz + rx2
+    ly = (zy % tz) * rpz + ry2
+    tile = ty * ntiles_axis + tx
+    gtile = np.asarray(beams, np.int64) * tiles_per_beam + tile
+    return gtile, ly * side + lx
+
+
 @dataclasses.dataclass(frozen=True)
 class TraceContext:
     """Everything needed to run a trace: static config + device-ready arrays."""

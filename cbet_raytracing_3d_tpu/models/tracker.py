@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from .raytracer import (RayState, TraceContext, build_tile_layout,
-                        make_deferred_step_fn, prepare, select_rays)
+from .raytracer import (RayState, TraceContext, make_deferred_step_fn,
+                        select_rays)
 
 _LANES = 128     # pad the tracked batch to full TPU lanes
 
@@ -152,9 +152,13 @@ def track_rays(cfg: Config, beams, ray_ids,
     """Trace the (beam, pre_raynum) pairs with full per-step recording.
 
     ``beams`` / ``ray_ids`` are parallel sequences (reference thread ids,
-    launch_ray_XZ.cu:123-134).  Pass a host-prepared ``ctx`` to reuse an
-    existing scene; compact (on-device-init) contexts are rejected — their
-    state layout has no slot map back to thread ids."""
+    launch_ray_XZ.cu:123-134).  Pass any existing ``ctx`` to reuse a
+    scene: slots are computed in CLOSED FORM (raytracer.slots_of_rays —
+    no O(nbeams*nrays) map, seconds even at config-4 scale), and compact
+    (prepare_device) contexts are supported by mapping the global tile id
+    through the deterministic traced tile order (live_tile_ids).  Rays
+    whose tile is absent from a compact layout are pupil-dead tiles —
+    they record zero steps, same as any unlaunched ray."""
     beams = np.atleast_1d(np.asarray(beams, np.int32))
     ray_ids = np.atleast_1d(np.asarray(ray_ids, np.int32))
     if beams.shape != ray_ids.shape:
@@ -163,28 +167,49 @@ def track_rays(cfg: Config, beams, ray_ids,
             or ray_ids.min() < 0 or ray_ids.max() >= cfg.nrays):
         raise ValueError("beam or ray id out of range")
     if ctx is None:
-        ctx = prepare(cfg, prof=prof, beam_norm=beam_norm)
+        # the on-device init: O(grid + nrays) host work + one jit (runs on
+        # CPU too) — the full host prepare costs tens of seconds at OMEGA
+        # scale and minutes at config 4 just to track a handful of rays
+        from .raytracer import prepare_device
+        ctx = prepare_device(cfg, prof=prof, beam_norm=beam_norm)
     elif ctx.cfg != cfg:
-        # the track fn's flat field4 indices and the slot map are built
+        # the track fn's flat field4 indices and the slot formula are built
         # from cfg; a context prepared under a different config would be
         # read with the wrong strides — jnp.take clamps under jit, so the
         # mismatch would record silently-wrong trajectories, not crash
         raise ValueError(
             "track_rays: cfg does not match ctx.cfg — pass the context's "
             "own config or rebuild the context for this one")
-    if ctx.compact:
-        raise ValueError(
-            "track_rays needs a host-prepared context (raytracer.prepare); "
-            "prepare_device states are live-tile compacted and carry no "
-            "thread-id slot map")
+    from .raytracer import live_tile_ids, slots_of_rays
     layout = ctx.layout
-    if layout.slot_of is None:      # cache-loaded context: rebuild the map
-        layout = build_tile_layout(cfg, with_slots=True)
-    slots = layout.slot_of[beams, ray_ids]
+    rpt = layout.rays_per_tile
+    gtile, rit = slots_of_rays(cfg, beams, ray_ids)
+    found = None
+    if ctx.compact:
+        # traced position of each global tile in the compact layout; on
+        # duplicate ids (dead-tile block padding) the VALID occurrence wins
+        ids, valid = live_tile_ids(cfg, layout)
+        pos_of = np.full(cfg.nbeams * layout.tiles_per_beam, -1, np.int64)
+        order = np.argsort(valid.astype(np.int8), kind="stable")
+        pos_of[ids[order]] = np.arange(len(ids), dtype=np.int64)[order]
+        pos = pos_of[gtile]
+        found = pos >= 0
+        slots = np.where(found, pos, 0) * rpt + rit
+    else:
+        slots = gtile * rpt + rit
 
     k = beams.shape[0]
     n_pad = -(-k // _LANES) * _LANES
-    state0 = _pad_state(select_rays(ctx.state0, slots), n_pad)
+    sel = select_rays(ctx.state0, slots)
+    if found is not None and not found.all():
+        xp = np if isinstance(sel.uray, np.ndarray) else jnp
+        m = xp.asarray(found)
+        sel = dataclasses.replace(
+            sel, alive=sel.alive & m,
+            uray=xp.where(m, sel.uray, xp.zeros_like(sel.uray)),
+            uray_init=xp.where(m, sel.uray_init,
+                               xp.ones_like(sel.uray_init)))
+    state0 = _pad_state(sel, n_pad)
     if isinstance(state0.uray, np.ndarray):     # host-state context
         state0 = jax.tree.map(jnp.asarray, state0)
     field4 = jnp.asarray(ctx.field4)

@@ -63,7 +63,7 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
     # gain-window mode (gain_cfg != None): rest = (gain_tab_ref,
     # edep_out_ref, oflow_ref, gamma_ref) — see _tile_ebox.
     if gain_cfg is not None:
-        gain_tab_ref, edep_out_ref, oflow_ref, gamma_ref = rest
+        gain_tab_ref, edep_out_ref, oflow_ref, gamma_ref, uout_ref = rest
         edep_in_ref = None
     elif len(rest) == 2:
         edep_in_ref, (edep_out_ref, oflow_ref) = None, rest
@@ -83,10 +83,18 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
             edep_out_ref[...] = edep_in_ref[...]
 
     if gain_cfg is not None:
-        # a skipped (no-deposit) tile must still report identity gains
+        # a skipped (no-deposit) tile must still report identity gains and
+        # its rays' unchanged (frozen) energies — skipped tiles have
+        # inc == 0 everywhere, which implies zero absorption AND zero gain
+        # (both vanish with ne), so u is exactly frozen across the window
+        batch_g = gain_cfg[0]
+        rpt_g = gamma_ref.shape[1] // batch_g
         gamma_ref[...] = jnp.ones_like(gamma_ref)
+        uout_ref[...] = flts_ref[:, 5, (batch_g - 1) * rpt_g:].astype(
+            jnp.float32)
 
-    nflt = 5 if gain_cfg is not None else 4
+    nflt = 7 if gain_cfg is not None else 4
+    cell_mode = gain_cfg is not None and gain_cfg[2] == "cell"
 
     def tile_body(t, _):
         cx = ints_ref[t, 0, :]
@@ -99,10 +107,14 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
         def _deposit():
             gain = None
             if gain_cfg is not None:
-                gain = (gain_tab_ref.at[0], flts_ref[t, 4, :], gain_cfg)
+                lag = ([ints_ref[t, 3 + a, :] for a in range(3)]
+                       if cell_mode else None)
+                gain = (gain_tab_ref.at[0],
+                        (flts_ref[t, 4, :], flts_ref[t, 5, :],
+                         flts_ref[t, 6, :], lag), gain_cfg)
             out = _tile_ebox(
                 [ints_ref[t, a, :] for a in range(3)],
-                [flts_ref[t, a, :] for a in range(nflt)],
+                [flts_ref[t, a, :] for a in range(min(nflt, 4))],
                 xyidx_ref, zframe0=0, zmax=ZLANES, bx=bx, byk=byk, bz=bz,
                 nxp=nxp, nyp=nyp, ablate=ablate, gain=gain, precise=precise)
             box, x0, y0, bad = out[:4]
@@ -111,6 +123,7 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
             edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :] = cur + box
             if gain_cfg is not None:
                 gamma_ref[t, :] = out[4]
+                uout_ref[t, :] = out[5]
 
         return 0
 
@@ -249,36 +262,118 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     hz = hat(iota_z, qz)
 
     gam_cum = None
+    gain_extra = None
     if gain is not None:
-        # CBET tile-window gain contraction (see docstring): trilinear gain
-        # at every row's deposit position = the TRANSPOSE of the deposit
-        # contraction, on the same hat matrices.  Rows outside the deposit
-        # box have all-zero hats -> g_r = 0 -> unit gain (such rows carry
-        # zero absorption increment, and gain ~ ne is zero wherever
-        # absorption is — edge-of-plasma corner effects excepted).
-        g_ref, ds, (batch, clip) = gain
-        gs = g_ref[pl.ds(x0, bx), pl.ds(y0, byk), :]      # (bx, byk, F)
+        # CBET tile-window gain contraction (see docstring).  Two sampling
+        # modes:
+        #   "tri"  — trilinear gain at every row's deposit position = the
+        #            TRANSPOSE of the deposit contraction, on the same hat
+        #            matrices.  Rows outside the deposit box have all-zero
+        #            hats -> g_r = 0 -> unit gain (such rows carry zero
+        #            absorption increment, and gain ~ ne is zero wherever
+        #            absorption is — edge-of-plasma corner effects excepted).
+        #   "cell" — the per-step-lookup model's EXACT sampling: the single
+        #            node of each step's entry cell (lag cells ride in as
+        #            extra int rows), selected by one-hot rows against the
+        #            gain window.  The gain window gets its OWN box origin
+        #            (an entry cell can sit one cell outside the deposit
+        #            box); live rows falling outside it count as overflow.
+        # Both modes apply the EXACT termination rule in-kernel: the mini
+        # scan advances without the energy stop (trajectories are energy-
+        # independent), and the kernel — which knows the true per-step
+        # energy u_true_j = u_nogain_j * gcum_j — masks deposits/intensity
+        # past each ray's true death step and returns the frozen true
+        # energy per ray (uout), making the window model IDENTICAL to the
+        # per-step lookup on every parity-bearing output.
+        g_ref, (ds, u_ng, uinit, lag), (batch, clip, mode,
+                                        stop_frac) = gain
+        if mode == "cell":
+            lcx, lcy, lcz = lag
+            gox = jnp.min(jnp.where(live, lcx, big))
+            goy = jnp.min(jnp.where(live, lcy, big))
+            goz = jnp.min(jnp.where(live, lcz, big))
+            gx0 = jnp.clip(gox, 0, nxp - bx)
+            gy0 = jnp.clip((goy // 8) * 8, 0, nyp - byk)
+            gz0 = jnp.clip(goz, 0, zmax - bz)
+            lbx = lcx + 1 - gx0
+            lby = lcy + 1 - gy0
+            lbz = lcz + 1 - gz0
+            bad_g = live & ~((lbx >= 0) & (lbx < bx) & (lby >= 0)
+                             & (lby < byk) & (lbz >= 0) & (lbz < bz))
+            gain_extra = jnp.sum(bad_g.astype(jnp.int32))
+            # one-hot selection: a single compare on the collapsed index
+            # (a == x*BYK + y <=> x match AND y match), and on the z iota
+            tgt = (lbx * byk + lby).astype(jnp.float32)[:, None]
+            iota_a = (xyidx_ref[0:1, :] * byk
+                      + xyidx_ref[1:2, :]).astype(jnp.float32)
+            oh_xy = (iota_a == tgt).astype(jnp.float32)   # (R, A)
+            iota_zi = jax.lax.broadcasted_iota(jnp.int32, (r, bz), 1)
+            oh_z = (iota_zi == lbz[:, None]).astype(jnp.float32)
+            sel_a, sel_z, gz_origin = oh_xy, oh_z, gz0
+            gsx, gsy = gx0, gy0
+        else:
+            sel_a, sel_z, gz_origin = mb.astype(jnp.float32), hz, z0
+            gsx, gsy = x0, y0
+        gs = g_ref[pl.ds(gsx, bx), pl.ds(gsy, byk), :]    # (bx, byk, F)
         ga = gs.reshape(bx * byk, gs.shape[-1])
         # inverse of the deposit's placement roll: bring lanes
-        # [z0-zframe0, z0-zframe0+bz) to [0, bz)
-        ga = pltpu.roll(ga, zframe0 - z0, 1)[:, :bz]      # (A, BZ)
+        # [gz0-zframe0, gz0-zframe0+bz) to [0, bz)
+        ga = pltpu.roll(ga, zframe0 - gz_origin, 1)[:, :bz]   # (A, BZ)
+        if mode == "cell" and not precise:
+            # the cell mode is the EXACT model: keep the gain values at
+            # f32 precision through the bf16 MXU via an hi/lo lane split
+            # (the selector rows are one-hot — exact in bf16 — so this
+            # contraction is then exact-f32; K merely doubles 32 -> 64
+            # inside one MXU pass)
+            ga32 = ga.astype(jnp.float32)
+            ga_hi = ga32.astype(cdt)
+            ga_lo = (ga32 - ga_hi.astype(jnp.float32)).astype(cdt)
+            ga_c = jnp.concatenate([ga_hi, ga_lo], axis=1)    # (A, 2BZ)
+            sel_c = jnp.concatenate([sel_z, sel_z], axis=1)   # (R, 2BZ)
+        else:
+            ga_c, sel_c = ga, sel_z
         t1 = jax.lax.dot_general(
-            hz.astype(cdt), ga.astype(cdt),
+            sel_c.astype(cdt), ga_c.astype(cdt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (R, A)
-        g_r = jnp.sum(mb.astype(jnp.float32) * t1, axis=1,
-                      keepdims=True)                      # (R, 1)
+        g_r = jnp.sum(sel_a * t1, axis=1, keepdims=True)  # (R, 1)
         gam = jnp.exp(jnp.clip(g_r * ds[:, None].astype(jnp.float32),
                                -clip, clip))
         # cumulative product over the window's steps (rows are step-major
-        # within the tile: row j*rpt + ray) — separable from absorption
+        # within the tile: row j*rpt + ray) — separable from absorption —
+        # plus the exact termination machinery: died_j = (u_true_j <= thr),
+        # deposits masked from the step AFTER the first death (the killing
+        # step still deposits, matching the lookup order), intensity masked
+        # FROM the killing step (the lookup's post-step alive mask), and
+        # uout = the frozen true energy at death (or the window end).
         rpt_ = r // batch
+        thr = (jnp.float32(stop_frac)
+               * uinit[:rpt_].astype(jnp.float32)[:, None])   # (rpt, 1)
         parts = [gam[j * rpt_:(j + 1) * rpt_] for j in range(batch)]
         for j in range(1, batch):
             parts[j] = parts[j] * parts[j - 1]
-        gam_cum = (jnp.concatenate(parts, axis=0) if batch > 1
-                   else parts[0])                         # (R, 1)
-        inc = inc * gam_cum[:, 0].astype(inc.dtype)
+        u_parts = [u_ng[j * rpt_:(j + 1) * rpt_].astype(jnp.float32)[:, None]
+                   for j in range(batch)]
+        anydied_prev = jnp.zeros((rpt_, 1), jnp.float32)
+        medep, mint = [], []
+        uout = jnp.zeros((rpt_, 1), jnp.float32)
+        for j in range(batch):
+            u_true = u_parts[j] * parts[j]
+            died = (u_true <= thr).astype(jnp.float32)
+            anydied = jnp.maximum(anydied_prev, died)
+            medep.append(1.0 - anydied_prev)
+            mint.append(1.0 - anydied)
+            uout = uout + u_true * died * (1.0 - anydied_prev)
+            anydied_prev = anydied
+        uout = uout + u_parts[batch - 1] * parts[batch - 1] * (
+            1.0 - anydied_prev)
+        gam_cum = jnp.concatenate(
+            [parts[j] * mint[j] for j in range(batch)], axis=0)   # (R, 1)
+        inc_mask = jnp.concatenate(
+            [parts[j] * medep[j] for j in range(batch)], axis=0)
+        inc = inc * inc_mask[:, 0].astype(inc.dtype)
+        gain_extra = (gain_extra if gain_extra is not None
+                      else jnp.int32(0)), uout[:, 0]
 
     # wi carries the (large) increment: split hi/lo so its value
     # keeps ~16 mantissa bits; hi and lo ride side-by-side in the
@@ -314,7 +409,9 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     ef = pltpu.roll(ef, z0 - zframe0, 1)
     out = (ef.reshape(bx, byk, frame), x0, y0, bad_count)
     if gain is not None:
-        out = out + (gam_cum[:, 0],)
+        bad_gain, uout_rows = gain_extra
+        out = (out[0], x0, y0, bad_count + bad_gain,
+               gam_cum[:, 0], uout_rows)
     return out
 
 
@@ -388,16 +485,17 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
     (n_groups,) dim when grouped — float32; use :func:`finalize_edep` to
     unpad.
 
-    ``gain_window=(n_beams, tiles_per_group_gain, batch, clip)`` builds the
-    CBET window-gain variant instead (ungrouped only): signature becomes
-    ``(edep, cx, cy, cz, fx, fy, fz, inc, ds, gain_tab) -> (edep, overflow,
-    gamma)`` where ``gain_tab`` is the (n_beams, nx+2, yp, zp) per-beam
-    gain field in the grid's padded layout (tiles must be beam-contiguous,
-    ``tiles_per_group_gain`` per beam), ``ds`` the per-row path elements
-    (zero on dead rows), and ``gamma`` the (n_tiles, rays_per_tile)
-    cumulative window gain factors applied to the deposits in-kernel (see
-    :func:`_tile_ebox`).  ``rays_per_tile`` here counts contraction ROWS
-    (rays x batch).  ``precise`` disables bf16 (validation builds)."""
+    ``gain_window=(n_beams, tiles_per_group_gain, batch, clip, mode,
+    stop_fraction)`` builds the CBET window-gain variant instead
+    (ungrouped only; ``mode`` is "tri" — trilinear sampling at deposit
+    positions — or "cell" — the per-step-lookup model's exact entry-cell
+    single-node sampling): see :func:`_make_tile_deposit_gain` for the
+    signature and the exact in-kernel termination contract.
+    ``gain_tab`` is the (n_beams, nx+2, yp, zp) per-beam gain field in the
+    grid's padded layout (tiles must be beam-contiguous,
+    ``tiles_per_group_gain`` per beam).  ``rays_per_tile`` here counts
+    contraction ROWS (rays x batch).  ``precise`` disables bf16
+    (validation builds)."""
     nxp, nyp, nzp = nx + 2, ny + 2, nz + 2
     if nzp > ZLANES:
         raise NotImplementedError(
@@ -533,19 +631,40 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
     lane-padded beam grid at a time, single-buffered like the grouped
     intensity grids — the block changes only at beam boundaries), so the
     kernel's window access is a plain dynamic VMEM slice, not a manual
-    DMA."""
-    n_beams, tpg_gain, batch, clip = gain_window
+    DMA.
+
+    Signature of the returned function (``mode="cell"`` adds the three
+    ``lc*`` lag-cell streams — each step's ENTRY cell):
+    ``(edep, cx, cy, cz, fx, fy, fz, inc, ds, u, uinit, [lcx, lcy, lcz,]
+    gain_tab) -> (edep, overflow, gamma, uout)`` where ``u`` is the
+    gain-free POST-step energy per row, ``uinit`` the launch energy,
+    ``gamma`` the (n_tiles, r) cumulative gain factors masked by the exact
+    post-step aliveness (multiply the gain-free intensity contributions),
+    and ``uout`` the (n_tiles, rays_per_tile) exact frozen true energy per
+    ray at the window end (callers update ``uray`` and re-derive ``alive``
+    as ``uout > stop_fraction * uray_init``)."""
+    n_beams, tpg_gain, batch, clip, mode, stop_frac = gain_window
+    assert mode in ("tri", "cell"), mode
     assert tpg_gain % tb == 0, (tpg_gain, tb)
     assert r % batch == 0, (r, batch)
-    if not interpret and (tb % 8 or r % 128):
-        # the gamma output block is (tiles_per_block, rays*batch); Mosaic
-        # requires the last two block dims divisible by (8, 128) (interpret
-        # mode does not enforce this — fail loud instead of at lowering)
+    rpt = r // batch
+    if not interpret and (tb % 8 or r % 128 or rpt % 128):
+        # the gamma/uout output blocks are (tiles_per_block, rows|rays);
+        # Mosaic requires the last two block dims divisible by (8, 128)
+        # (interpret mode does not enforce this — fail loud instead of at
+        # lowering)
         raise ValueError(
             f"gain-window kernel on real TPU needs tiles_per_block % 8 == 0 "
-            f"and rays_per_tile*batch % 128 == 0 (got {tb}, {r})")
+            f"and rays_per_tile (*batch) % 128 == 0 (got {tb}, {r})")
+    n_ints = 6 if mode == "cell" else 3
 
-    def deposit(edep, cx, cy, cz, fx, fy, fz, inc, ds, gain_tab):
+    def deposit(edep, cx, cy, cz, fx, fy, fz, inc, ds, u, uinit, *rest):
+        if mode == "cell":
+            lcx, lcy, lcz, gain_tab = rest
+            int_streams = (cx, cy, cz, lcx, lcy, lcz)
+        else:
+            (gain_tab,) = rest
+            int_streams = (cx, cy, cz)
         n_tiles = cx.shape[0] // r
         assert n_tiles % tb == 0, (n_tiles, tb)
         assert n_tiles == n_beams * tpg_gain, (n_tiles, n_beams, tpg_gain)
@@ -555,17 +674,18 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
         kern = functools.partial(
             _kernel, bx=bx, byk=byk, bz=bz, nxp=nxp, nyp=yp,
             tb=tb, tiles_per_group=n_tiles,
-            gain_cfg=(batch, float(clip)), precise=precise)
+            gain_cfg=(batch, float(clip), mode, float(stop_frac)),
+            precise=precise)
 
-        def kernel_fn(i_ref, f_ref, xy_ref, g_ref, eout, of, gam):
-            kern(i_ref, f_ref, xy_ref, g_ref, eout, of, gam)
+        def kernel_fn(i_ref, f_ref, xy_ref, g_ref, eout, of, gam, uo):
+            kern(i_ref, f_ref, xy_ref, g_ref, eout, of, gam, uo)
 
         grid_spec = pl.GridSpec(
             grid=(n_tiles // tb,),
             in_specs=[
-                pl.BlockSpec((tb, 3, r), lambda i: (i, 0, 0),
+                pl.BlockSpec((tb, n_ints, r), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, 5, r), lambda i: (i, 0, 0),
+                pl.BlockSpec((tb, 7, r), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, bx * byk), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -581,22 +701,26 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((tb, r), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, rpt), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
         )
-        ints = jnp.stack([a.reshape(n_tiles, r) for a in (cx, cy, cz)],
+        ints = jnp.stack([a.reshape(n_tiles, r) for a in int_streams],
                          axis=1)
         flts = jnp.stack(
-            [a.reshape(n_tiles, r) for a in (fx, fy, fz, inc, ds)], axis=1)
+            [a.reshape(n_tiles, r)
+             for a in (fx, fy, fz, inc, ds, u, uinit)], axis=1)
         jxy = jnp.arange(bx * byk, dtype=jnp.int32)
         xyidx = jnp.stack([jxy // byk, jxy % byk])
 
-        delta, oflow, gamma = pl.pallas_call(
+        delta, oflow, gamma, uout = pl.pallas_call(
             kernel_fn,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((nxp, yp, ZLANES), jnp.float32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
                 jax.ShapeDtypeStruct((n_tiles, r), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, rpt), jnp.float32),
             ],
             # the beam-gain input block (5.3 MB at 100^3) + the batched
             # hat/M/t1 temporaries exceed the 16 MB default scoped budget;
@@ -605,7 +729,7 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(ints, flts, xyidx, gain_tab)
-        return edep + delta, oflow[0, 0], gamma
+        return edep + delta, oflow[0, 0], gamma, uout
 
     return deposit
 

@@ -312,8 +312,11 @@ def trace_ray_cbet(cfg: Config, prof: RadialProfiles, beam_norm, pow_r,
     ``exp(clip(g*ds))`` that is cumulative-multiplied over the window and
     applied to the step's edep/intensity deposits; the ray energy is
     corrected by the cumulative factor at window boundaries (and at
-    termination).  Termination checks see the un-gained in-window energy —
-    the model's one deviation from per-step application."""
+    termination).  Termination checks see the TRUE gained energy
+    (uray * gcum), so the window machinery is exact — the trilinear
+    sampling position is the "kernel" model's only remaining deviation
+    from per-step lookup (the "kernel_cell" mode removes that too and
+    is identical to lookup, tested directly against it)."""
     ne_data, r_data, te_data = prof.ne, prof.r, prof.te
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
@@ -458,7 +461,11 @@ def trace_ray_cbet(cfg: Config, prof: RadialProfiles, beam_norm, pow_r,
 
         _deposit(edep, increment * gcum if window > 0 else increment)
 
-        if (uray <= cfg.stop_fraction * uray_init
+        # exact termination: the energy check sees the TRUE gained energy
+        # (uray * gcum; gcum stays 1.0 in window=0 mode where uray already
+        # carries the gain) — the window model is then identical to the
+        # per-step lookup on every parity-bearing output
+        if (uray * gcum <= cfg.stop_fraction * uray_init
                 or myx < (cfg.xmin - dx / 2.0) or myx > (cfg.xmax + dx / 2.0)
                 or myy < (cfg.ymin - dy / 2.0) or myy > (cfg.ymax + dy / 2.0)
                 or myz < (cfg.zmin - dz / 2.0) or myz > (cfg.zmax + dz / 2.0)):

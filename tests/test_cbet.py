@@ -765,13 +765,37 @@ def test_cbet_mesh_scatter_layout_segmented_falls_back(two_beam_cfg,
     assert res.intensity.shape == (2, 40, 40, 40)
 
 
-def test_cbet_gain_kernel_cell_exact_modulo_termination(two_beam_cfg,
-                                                        profiles):
+def test_cbet_gain_kernel_cell_exact(two_beam_cfg, profiles):
     """cbet_gain_mode='kernel_cell' (window contraction with the lookup
-    mode's exact single-node entry-cell sampling): with termination-by-
-    threshold disabled (stop_fraction=0) it must be BIT-EXACT vs the
-    per-step lookup — proving its only model deviation is in-window
-    termination checks seeing the un-gained energy."""
+    mode's exact single-node entry-cell sampling AND the exact in-kernel
+    termination rule) must match the per-step lookup on every parity-
+    bearing output — WITH the production stop rule active, i.e. including
+    mid-window energy deaths.  ~1e-12 (not bit-exact): the window form
+    associates the uray product as u_nogain*gcum, so a ray sitting within
+    one ulp of the death threshold could flip — none does here."""
+    cfg = two_beam_cfg.replace(dtype="float64", chunk_steps=10,
+                               deposit_batch_steps=5, cbet_max_iters=3)
+    ctx = rt.prepare(cfg, profiles)
+    exact = cbet_solve(cfg, ctx, backend="scatter")
+    cell = cbet_solve(cfg.replace(cbet_gain_mode="kernel_cell"), ctx,
+                      backend="scatter")
+    rel = (np.linalg.norm(cell.edep - exact.edep)
+           / np.linalg.norm(exact.edep))
+    assert rel < 1e-12, rel
+    ri = (np.linalg.norm(cell.intensity - exact.intensity)
+          / np.linalg.norm(exact.intensity))
+    assert ri < 1e-12, ri
+    # termination/energy accounting must agree exactly too (the uout /
+    # alive restoration at window boundaries)
+    for key in ("rays_terminated", "rays_alive_at_end"):
+        assert cell.stats[key] == exact.stats[key], key
+    np.testing.assert_allclose(cell.stats["energy_absorbed"],
+                               exact.stats["energy_absorbed"], rtol=1e-12)
+
+
+def test_cbet_gain_kernel_cell_stop0_bit_exact(two_beam_cfg, profiles):
+    """At stop_fraction=0 (no energy deaths) kernel_cell reduces to pure
+    multiplicative separability and must be bit-exact vs the lookup."""
     cfg = two_beam_cfg.replace(dtype="float64", chunk_steps=10,
                                deposit_batch_steps=5, cbet_max_iters=3,
                                stop_fraction=0.0)
@@ -782,38 +806,52 @@ def test_cbet_gain_kernel_cell_exact_modulo_termination(two_beam_cfg,
     rel = (np.linalg.norm(cell.edep - exact.edep)
            / np.linalg.norm(exact.edep))
     assert rel < 1e-14, rel
-    ri = (np.linalg.norm(cell.intensity - exact.intensity)
-          / np.linalg.norm(exact.intensity))
-    assert ri < 1e-14, ri
 
 
-def test_cbet_gain_kernel_cell_beats_kernel(two_beam_cfg, profiles):
-    """At the production stop rule, kernel_cell's termination-only residual
-    must sit well inside the trilinear 'kernel' mode's sampling-position
-    deviation (measured 0.26 vs 0.77 of the effect on this coarse scene;
-    2.55e-3 vs effect 1.8e-2 for 'kernel' at production resolution)."""
-    cfg = two_beam_cfg.replace(dtype="float64", chunk_steps=10,
-                               deposit_batch_steps=5, cbet_max_iters=3)
+def test_cbet_gain_kernel_cell_pallas_matches_xla(two_beam_cfg, profiles):
+    """The Pallas one-hot kernel_cell form (interpret, precise) matches the
+    XLA window form — entry-cell one-hot contraction, in-kernel exact
+    termination, uout/alive restoration — at the f32-gamma level."""
+    import jax
+    import jax.numpy as jnp
+
+    from cbet_raytracing_3d_tpu.models.cbet import make_cbet_trace_fn
+    from cbet_raytracing_3d_tpu.parallel.sharding import pad_rays
+
+    batch = 4
+    cfg = Config(nbeams=2, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 dtype="float64", tiles_per_block=1, chunk_steps=8,
+                 deposit_batch_steps=batch, cbet_gain_mode="kernel_cell")
     ctx = rt.prepare(cfg, profiles)
-    exact = cbet_solve(cfg, ctx, backend="scatter")
-    cell = cbet_solve(cfg.replace(cbet_gain_mode="kernel_cell"), ctx,
-                      backend="scatter")
-    kern = cbet_solve(cfg.replace(cbet_gain_mode="kernel"), ctx,
-                      backend="scatter")
-    eff = np.linalg.norm(exact.edep - np.asarray(
-        rt.trace(ctx, backend="scatter")[0], np.float64))
-    dev_cell = np.linalg.norm(cell.edep - exact.edep) / eff
-    dev_kern = np.linalg.norm(kern.edep - exact.edep) / eff
-    assert dev_cell < 0.5 * dev_kern, (dev_cell, dev_kern)
+    state0 = pad_rays(ctx.state0, ctx.layout.rays_per_tile)
+    bid_np = np.maximum(ctx.beam_id, 0).astype(np.int32)
+    bid = jnp.asarray(np.pad(bid_np, (0, state0.n - bid_np.shape[0])))
+    P = cfg.nx * cfg.ny * cfg.nz
+    # a synthetic smooth gain field exercising both signs
+    rng = np.random.default_rng(3)
+    g = np.zeros((2, cfg.nx, cfg.ny, cfg.nz))
+    for b in range(2):
+        gx = rng.standard_normal((6, 6, 6))
+        g[b] = np.kron(gx, np.ones((4, 4, 4))) * 2e-2
+    g_j = jnp.asarray(g.reshape(2, P))
 
-
-def test_cbet_gain_kernel_cell_rejects_pallas(two_beam_cfg, profiles):
-    """kernel_cell is the XLA-window validation form: a Pallas backend must
-    raise (the one-hot contraction is not built) instead of silently
-    computing the trilinear model."""
-    cfg = two_beam_cfg.replace(cbet_gain_mode="kernel_cell",
-                               chunk_steps=10, deposit_batch_steps=5,
-                               tiles_per_block=1)
-    ctx = rt.prepare(cfg, profiles)
-    with pytest.raises(ValueError, match="kernel_cell"):
-        cbet_solve(cfg, ctx, backend="pallas_interpret")
+    tr_x = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="scatter")())
+    edep_x, i_x, st_x, of_x = tr_x(ctx.field4, g_j, bid, state0)
+    tr_k = jax.jit(make_cbet_trace_fn(cfg, ctx, backend="pallas_interpret",
+                                      kernel_precise=True)())
+    edep_k, i_k, st_k, of_k = tr_k(ctx.field4, g_j, bid, state0)
+    assert int(of_x) == 0 and int(of_k) == 0
+    rel_e = (np.linalg.norm(np.asarray(edep_k, np.float64)
+                            - np.asarray(edep_x, np.float64))
+             / np.linalg.norm(np.asarray(edep_x, np.float64)))
+    assert rel_e < 1e-5, rel_e
+    rel_i = (np.linalg.norm(np.asarray(i_k, np.float64)
+                            - np.asarray(i_x, np.float64))
+             / np.linalg.norm(np.asarray(i_x, np.float64)))
+    assert rel_i < 1e-5, rel_i
+    # final energies and aliveness agree (uout restoration)
+    u_x = np.asarray(st_x.uray, np.float64)
+    u_k = np.asarray(st_k.uray, np.float64)
+    mask = np.asarray(state0.alive)
+    assert np.allclose(u_k[mask], u_x[mask], rtol=1e-5)
+    assert (np.asarray(st_k.alive) == np.asarray(st_x.alive)).all()

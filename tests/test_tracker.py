@@ -165,3 +165,33 @@ def test_cli_track_rejects_bad_pairs():
     assert out.returncode == 2
     assert "out of range" in out.stderr
     assert "Traceback" not in out.stderr
+
+
+def test_slots_of_rays_matches_slot_of(ctx64):
+    """The closed-form slot formula must reproduce the O(nbeams*nrays)
+    slot_of map exactly (it replaced the map on the track path)."""
+    cfg = ctx64.cfg
+    rng = np.random.default_rng(7)
+    beams = rng.integers(0, cfg.nbeams, 200).astype(np.int64)
+    rays = rng.integers(0, cfg.nrays, 200).astype(np.int64)
+    gtile, rit = rt.slots_of_rays(cfg, beams, rays)
+    slots = gtile * ctx64.layout.rays_per_tile + rit
+    np.testing.assert_array_equal(slots, ctx64.layout.slot_of[beams, rays])
+
+
+def test_track_compact_context_matches_host(ctx64, profiles):
+    """track_rays on a prepare_device (compact) context must reproduce the
+    host-context trajectories — the compact layout's slots are derived in
+    closed form through the deterministic traced tile order."""
+    cfg = ctx64.cfg
+    ctx_dev = rt.prepare_device(cfg, profiles)
+    t_host = track_rays(cfg, BEAMS, RAYS, ctx=ctx64)
+    t_dev = track_rays(cfg, BEAMS, RAYS, ctx=ctx_dev)
+    np.testing.assert_array_equal(t_dev.launched, t_host.launched)
+    np.testing.assert_array_equal(t_dev.steps, t_host.steps)
+    np.testing.assert_array_equal(t_dev.recorded, t_host.recorded)
+    m = t_host.recorded
+    np.testing.assert_array_equal(t_dev.cell[m], t_host.cell[m])
+    np.testing.assert_allclose(t_dev.pos[m], t_host.pos[m],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(t_dev.uray[m], t_host.uray[m], rtol=1e-12)

@@ -144,6 +144,20 @@ class Config:
     # table stays under ~1.5 GB (ON at OMEGA's 480 MB, OFF at config-4's
     # 3.9 GB full-res lookup table).  Values are identical either way.
     cbet_gain_rows2: bool | None = None
+    # Shard the (B, P) gain table along the BEAM axis on beam-sharded
+    # meshes (whole beams per shard, "lookup" mode with sliced gathers):
+    # each shard holds only its own beams' gain rows — the per-iteration
+    # replicated (B, P) gain broadcast (~240 MB at OMEGA scale on EVERY
+    # chip) disappears, each chip computes only its 1/D share of the
+    # gain-field reduction (from one all-gather of the beam-sharded
+    # intensity), and the per-chip gain HBM footprint drops D-fold.
+    # Values are identical: the row-restricted gain kernel runs the same
+    # partner loop in the same order (phantom partners contribute exact
+    # zeros), and the trace's sliced lookups read the same rows locally.
+    # None = auto (ON whenever the mesh layout supports it); True errors
+    # if the layout doesn't (beam-straddling scatter meshes, kernel gain
+    # modes); False forces the replicated table.
+    cbet_gain_sharded: bool | None = None
     # Static mid-trace tile compaction inside the CBET fixed-point traces:
     # the tile plan is measured with stop_fraction=0 — rays then live until
     # box exit, a strict superset of liveness under ANY gain (gain never

@@ -185,6 +185,79 @@ def make_gain_fn(cfg: Config, ctx: rt.TraceContext,
     return jax.jit(gain)
 
 
+def _make_sharded_gain_fn(cfg: Config, ctx: rt.TraceContext, mesh,
+                          nb_pad: int, n_local: int,
+                          backend: str | None = None):
+    """Beam-sharded gain reduction (Config.cbet_gain_sharded): jitted
+    ``I (nb_pad, Ph) beam-sharded -> G (nb_pad, Ph) beam-sharded``.
+
+    Each shard all-gathers the intensity once over ICI (the gain coupling
+    is all-to-all over beams) and computes ONLY its own ``n_local`` beams'
+    gain rows — 1/D of the reduction per chip, and the (B, P) gain table
+    never exists replicated.  Per-row arithmetic is identical to the
+    replicated forms (same partner order, same f32 ops; phantom padding
+    beams carry zero pair couplings and zero intensity, contributing exact
+    zeros), so results are bit-equal to the replicated solve's.
+
+    ``backend``: "pallas" (TPU row-restricted kernel), anything else (CPU
+    default) uses the XLA fori-loop form — the same arithmetic as
+    make_gain_fn's "xla" path, restricted to the shard's output rows."""
+    from ..parallel.sharding import AXIS
+    from jax.sharding import PartitionSpec as Pspec
+    s = cfg.cbet_grid_downsample
+    ph = cfg.cbet_grid_shape
+    Ph = ph[0] * ph[1] * ph[2]
+    rhat = _node_rhat(cfg, s)                            # (3, Ph)
+    pre = gain_prefactor_field(cfg, ctx.fields)[::s, ::s, ::s].reshape(-1)
+    # pair couplings padded to the phantom-inclusive beam axis: zero rows/
+    # cols give eta = 0 -> R(0) = 0 exactly (and phantom intensity rows
+    # are zero anyway)
+    pu = np.zeros((nb_pad, nb_pad, 3), np.float32)
+    pu[:cfg.nbeams, :cfg.nbeams] = pair_couplings(ctx.beam_norm, cfg.machnum)
+    pair_j = jnp.asarray(pu)
+    if backend is None:
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+
+    if backend.startswith("pallas"):
+        from ..ops.pallas_gain import make_gain_kernel
+        rp = np.concatenate([rhat, pre[None, :]], axis=0).astype(np.float32)
+        rp_j = jnp.asarray(rp)
+        kfn = make_gain_kernel(nb_pad, Ph, k.IAW, b_out=n_local,
+                               interpret=backend == "pallas_interpret")
+
+        def local_gain(ii):                              # (n_local, Ph)
+            full = jax.lax.all_gather(ii, AXIS, axis=0, tiled=True)
+            b0 = jax.lax.axis_index(AXIS) * n_local
+            pu_l = jax.lax.dynamic_slice_in_dim(pair_j, b0, n_local, 0)
+            return kfn(pu_l, rp_j, full)
+    else:
+        rhat_j = jnp.asarray(rhat, jnp.float32)
+        pre_j = jnp.asarray(pre, jnp.float32)
+
+        def local_gain(ii):                              # (n_local, Ph)
+            full = jax.lax.all_gather(ii, AXIS, axis=0, tiled=True)
+            b0 = jax.lax.axis_index(AXIS) * n_local
+            pu_l = jax.lax.dynamic_slice_in_dim(pair_j, b0, n_local, 0)
+
+            def body(bp, acc):
+                eta = (jax.lax.dynamic_slice_in_dim(pu_l[:, :, 0], bp, 1, 1)
+                       * rhat_j[0][None, :]
+                       + jax.lax.dynamic_slice_in_dim(pu_l[:, :, 1], bp, 1, 1)
+                       * rhat_j[1][None, :]
+                       + jax.lax.dynamic_slice_in_dim(pu_l[:, :, 2], bp, 1, 1)
+                       * rhat_j[2][None, :])             # (n_local, Ph)
+                ib = jax.lax.dynamic_slice_in_dim(full, bp, 1, 0)  # (1, Ph)
+                return acc + resonance(eta) * ib
+
+            g = jax.lax.fori_loop(0, nb_pad, body,
+                                  jnp.zeros((n_local, Ph), jnp.float32))
+            return g * pre_j[None, :]
+
+    return jax.jit(jax.shard_map(
+        local_gain, mesh=mesh, in_specs=Pspec(AXIS), out_specs=Pspec(AXIS),
+        check_vma=False))
+
+
 def _node_rhat(cfg: Config, s: int = 1) -> np.ndarray:
     """Unit radial vectors at the CBET-grid nodes (full-grid indices
     0, s, 2s, ...)."""
@@ -224,18 +297,17 @@ def make_gain_upsampler(cfg: Config):
     ``jnp.repeat`` at ~11 s total; the einsum form is milliseconds."""
     s = cfg.cbet_grid_downsample
     hx, hy, hz = cfg.cbet_grid_shape
-    nb = cfg.nbeams
     wx = jnp.asarray(_interp_matrix(cfg.nx, hx, s))
     wy = jnp.asarray(_interp_matrix(cfg.ny, hy, s))
     wz = jnp.asarray(_interp_matrix(cfg.nz, hz, s))
 
     @jax.jit
-    def upsample(gain_h):                      # (B, Ph)
-        g = gain_h.reshape(nb, hx, hy, hz)
+    def upsample(gain_h):                      # (B, Ph); B may carry
+        g = gain_h.reshape(-1, hx, hy, hz)     # phantom padding rows
         g = jnp.einsum("bxyz,Zz->bxyZ", g, wz)
         g = jnp.einsum("bxyZ,Yy->bxYZ", g, wy)
         g = jnp.einsum("bxYZ,Xx->bXYZ", g, wx)
-        return g.reshape(nb, cfg.nx * cfg.ny * cfg.nz)
+        return g.reshape(g.shape[0], cfg.nx * cfg.ny * cfg.nz)
 
     return upsample
 
@@ -296,6 +368,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        kernel_precise: bool = False,
                        segments=None, seg_tpgs=None,
                        n_local_beams: int | None = None,
+                       gain_local: bool = False,
                        _ablate: str = ""):
     """Gain-aware trace builder; ``make()`` returns
     ``(field4, gain (B,P), bid (N,), state0) -> (edep, intensity (B,P),
@@ -376,6 +449,18 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         if cfg.cbet_gain_mode != "lookup":
             raise ValueError(f"cbet_gain_mode={cfg.cbet_gain_mode!r} is "
                              "single-device only")
+    if gain_local:
+        # the trace's gain argument is the shard's LOCAL (n_local_beams, P)
+        # block of the beam-sharded gain table (Config.cbet_gain_sharded):
+        # the sliced lookups read static local rows instead of dynamic
+        # global ones
+        if n_local_beams is None:
+            raise ValueError("gain_local requires the beam-sharded layout "
+                             "(n_local_beams)")
+        if not cfg.cbet_gain_sliced:
+            raise ValueError("gain_local requires cbet_gain_sliced (the "
+                             "flat bid-offset fallback indexes the global "
+                             "table)")
     tpg = (tiles_per_group if tiles_per_group is not None
            else ctx.layout.tiles_per_beam)
     rpt = ctx.layout.rays_per_tile
@@ -639,7 +724,11 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                 f"{rpt} = {nb_g * W}), got {flat.shape[0]}"
                                 " — pass the matching tiles_per_group or "
                                 "disable slicing")
-                        if n_local_beams is None:
+                        if n_local_beams is None or gain_local:
+                            # single device, or a beam-sharded gain table
+                            # (gain_local: the block's rows ARE this
+                            # shard's beams, phantoms included) — static
+                            # local row slices
                             rows = [gain_src[b] for b in range(nb_g)]
                         else:
                             from ..parallel.sharding import AXIS as _AX
@@ -1009,6 +1098,11 @@ class _CbetSolver:
     segmented: bool = False    # compacted per-iteration traces (any device
     #                            count) — False when a mesh layout forced
     #                            the unsegmented fallback
+    # beam-sharded gain table (Config.cbet_gain_sharded): intensity/gain
+    # keep their phantom rows through the iteration; crop_intensity is the
+    # real beam count to crop the final result to (None = no crop needed)
+    crop_intensity: int | None = None
+    gain_sharded: bool = False
 
 
 _SOLVER_CACHE: dict = {}
@@ -1045,7 +1139,6 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
                   cache_dir: str | None) -> _CbetSolver:
     import math as _math
 
-    gain_fn = make_gain_fn(cfg, ctx)
     rpt = ctx.layout.rays_per_tile
     from ..parallel.sharding import AXIS, pad_rays, put_state
     n_dev = 1 if mesh is None else int(_math.prod(mesh.devices.shape))
@@ -1108,6 +1201,30 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
                 nb_pad = cand
                 n_local = nb_pad // n_dev
 
+    # Beam-sharded GAIN TABLE (Config.cbet_gain_sharded): on the whole-
+    # beams-per-shard layout, shard the (nb_pad, P) gain/intensity fields
+    # along the beam axis for the whole iteration — the trace reads only
+    # local rows (sliced lookups), the gain reduction all-gathers the
+    # intensity once and computes 1/D of the rows per chip, and the
+    # replicated per-iteration gain broadcast disappears (BASELINE.md
+    # multi-chip model).  Values are identical (tested).
+    gain_sharded = cfg.cbet_gain_sharded
+    can_shard_gain = (n_local is not None and cfg.cbet_gain_sliced
+                      and cfg.cbet_gain_mode == "lookup")
+    if gain_sharded is None:
+        gain_sharded = can_shard_gain
+    elif gain_sharded and not can_shard_gain:
+        raise ValueError(
+            "cbet_gain_sharded=True requires the beam-sharded mesh layout "
+            "(whole beams per shard) with cbet_gain_sliced and "
+            "cbet_gain_mode='lookup'; this solve resolved "
+            f"n_local={n_local}, sliced={cfg.cbet_gain_sliced}, "
+            f"gain_mode={cfg.cbet_gain_mode!r}")
+    if gain_sharded:
+        gain_fn = _make_sharded_gain_fn(cfg, ctx, mesh, nb_pad, n_local)
+    else:
+        gain_fn = make_gain_fn(cfg, ctx)
+
     if n_local is not None:
         # exact per-beam layout (+ whole phantom-beam blocks if needed);
         # already a multiple of n_dev*rpt*tiles_per_block by construction
@@ -1165,7 +1282,8 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
                                                         and n_local is None),
                                      tiles_per_group=tpg,
                                      segments=segments, seg_tpgs=seg_tpgs,
-                                     n_local_beams=n_local)
+                                     n_local_beams=n_local,
+                                     gain_local=gain_sharded)
     local = trace_maker()
     if n_dev > 1 and segments is not None:
         from jax.sharding import PartitionSpec as Pspec
@@ -1181,8 +1299,9 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
 
         trace_seg_j = jax.jit(jax.shard_map(
             sharded_seg, mesh=mesh,
-            in_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec(AXIS),
-                      Pspec(AXIS)),
+            in_specs=(Pspec(),
+                      Pspec(AXIS) if gain_sharded else Pspec(),
+                      Pspec(AXIS), Pspec(AXIS), Pspec(AXIS)),
             out_specs=(Pspec(), Pspec(AXIS), Pspec(AXIS), Pspec(), Pspec()),
             check_vma=False))
         def trace_j(field4, gain, bid_, st, _fn=trace_seg_j, _sa=seg_args):
@@ -1202,7 +1321,9 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
 
         trace_j = jax.jit(jax.shard_map(
             sharded, mesh=mesh,
-            in_specs=(Pspec(), Pspec(), Pspec(AXIS), Pspec(AXIS)),
+            in_specs=(Pspec(),
+                      Pspec(AXIS) if gain_sharded else Pspec(),
+                      Pspec(AXIS), Pspec(AXIS)),
             out_specs=(Pspec(),
                        Pspec() if n_local is None else Pspec(AXIS),
                        Pspec(AXIS), Pspec()),
@@ -1232,9 +1353,13 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
             edep, inodes, st2, of = out
             of = int(jax.device_get(of))
         rt.check_overflow(of, cfg)
-        if nb_pad != cfg.nbeams:
+        if nb_pad != cfg.nbeams and not gain_sharded:
             # crop the phantom (all-dead padding) beams' zero rows off the
-            # beam-sharded intensity; edep/state are beam-agnostic
+            # beam-sharded intensity; edep/state are beam-agnostic.  When
+            # the gain table is beam-sharded (gain_sharded), the phantom
+            # rows stay through the whole iteration (they carry exact
+            # zeros and keep the beam axis evenly sharded); the final
+            # result crops them once (_cbet_solve_once)
             inodes = inodes[:cfg.nbeams]
         return edep, inodes, st2
 
@@ -1246,6 +1371,15 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     # used once per solve (iteration 0) — pinning them in every cached
     # solver would hold up to _SOLVER_CACHE_MAX copies of pure zeros in HBM
     def make_zero_gain():
+        if gain_sharded:
+            # the beam-sharded table: phantom-inclusive beam axis, sharded
+            # over the mesh so iteration 0's trace sees the same layout
+            # every later iteration's gain_fn output has
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            return jax.device_put(
+                jnp.zeros((nb_pad, cfg.nx * cfg.ny * cfg.nz),
+                          jnp.dtype(cfg.dtype)),
+                NamedSharding(mesh, _P(AXIS)))
         return jnp.zeros((cfg.nbeams, cfg.nx * cfg.ny * cfg.nz),
                          jnp.dtype(cfg.dtype))
 
@@ -1271,7 +1405,10 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     return _CbetSolver(gain_fn=gain_fn, upsample=upsample, trace=trace,
                        step_update=_step_update, state0=state0, bid=bid,
                        make_zero_gain=make_zero_gain, intensity_mode=imode,
-                       segmented=segments is not None)
+                       segmented=segments is not None,
+                       crop_intensity=(cfg.nbeams if gain_sharded
+                                       and nb_pad != cfg.nbeams else None),
+                       gain_sharded=gain_sharded)
 
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
@@ -1380,12 +1517,18 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     # bench.py applies to the trace's edep fetch
     _tf = _time.perf_counter()
     stats = rt.trace_stats(ctx, state, state0)
+    if solver.crop_intensity is not None:
+        # beam-sharded gain table: phantom beam rows (exact zeros) rode
+        # through the iteration to keep the beam axis evenly sharded —
+        # crop them once here, device-side, before the fetch
+        intensity = intensity[:solver.crop_intensity]
     edep_h = np.asarray(jax.device_get(edep), np.float64)
     inten_h = np.asarray(jax.device_get(intensity), np.float64).reshape(
         nb, hx, hy, hz)
     stats["result_fetch_seconds"] = round(_time.perf_counter() - _tf, 3)
     stats["intensity_mode"] = solver.intensity_mode
     stats["segmented"] = solver.segmented
+    stats["gain_sharded"] = solver.gain_sharded
     return CbetResult(
         edep=edep_h, intensity=inten_h,
         iterations=it, converged=converged, history=history, stats=stats)

@@ -45,10 +45,10 @@ def _gain_kernel(px_ref, py_ref, pz_ref, rp_ref, i_ref, g_ref, *, B, iaw2):
     ii = i_ref[...]
     acc = jnp.zeros(g_ref.shape, jnp.float32)
     for bp in range(B):                       # static unroll (see docstring)
-        ux = px[:, bp:bp + 1]                 # (B, 1)
+        ux = px[:, bp:bp + 1]                 # (B_out, 1)
         uy = py[:, bp:bp + 1]
         uz = pz[:, bp:bp + 1]
-        eta = ux * rx + uy * ry + uz * rz     # (B, L)
+        eta = ux * rx + uy * ry + uz * rz     # (B_out, L)
         e2 = eta * eta
         resp = (iaw2 * eta) / ((e2 - 1.0) ** 2 + iaw2 * e2)
         acc = acc + resp * ii[bp:bp + 1, :]
@@ -56,25 +56,35 @@ def _gain_kernel(px_ref, py_ref, pz_ref, rp_ref, i_ref, g_ref, *, B, iaw2):
 
 
 def make_gain_kernel(B: int, P: int, iaw: float,
-                     interpret: bool = False, block: int = LANE_BLOCK):
+                     interpret: bool = False, block: int = LANE_BLOCK,
+                     b_out: int | None = None):
     """Build ``gain(pair_u (B,B,3) f32, rhat_pre (4,P) f32, I (B,P) f32)
     -> (B,P) f32``.  ``rhat_pre`` rows are [rhat_x, rhat_y, rhat_z, pre];
-    zero ``pre`` in any padding makes padded columns exact zeros."""
+    zero ``pre`` in any padding makes padded columns exact zeros.
+
+    ``b_out`` restricts the OUTPUT to that many beam rows: ``pair_u`` then
+    has shape (b_out, B, 3) — the pair-coupling rows of the requested
+    output beams — while the partner sum still runs over all ``B``
+    intensity rows.  This is the beam-sharded form (Config.
+    cbet_gain_sharded): each shard computes only its own beams' gain rows
+    from the all-gathered intensity, with per-row arithmetic identical to
+    the full kernel's (same partner order, same f32 ops)."""
     # the (B, L)/(4, L) BlockSpecs put L on the lane dim: round any
     # caller-supplied block up to a 128-lane multiple or Mosaic rejects
     # the block shape on real TPU (interpret mode would hide it)
     block = max(128, -(-block // 128) * 128)
     L = min(block, -(-P // 128) * 128)
     Pp = -(-P // L) * L
+    Bo = B if b_out is None else b_out
     kern = functools.partial(_gain_kernel, B=B, iaw2=float(iaw) ** 2)
 
     def gain(pair_u, rhat_pre, intensity):
         assert intensity.shape == (B, P), intensity.shape
         assert rhat_pre.shape == (4, P), rhat_pre.shape
-        # (B, B, 3) with dk axis order as pair_couplings builds it — a
+        # (B_out, B, 3) with dk axis order as pair_couplings builds it — a
         # transposed pair_u would flip eta's sign and reverse the CBET
         # transfer direction while every BlockSpec still matches
-        assert pair_u.shape == (B, B, 3), pair_u.shape
+        assert pair_u.shape == (Bo, B, 3), pair_u.shape
         pad = Pp - P
         ip = jnp.pad(intensity, ((0, 0), (0, pad)))
         rp = jnp.pad(rhat_pre, ((0, 0), (0, pad)))
@@ -85,14 +95,14 @@ def make_gain_kernel(B: int, P: int, iaw: float,
             kern,
             grid=(Pp // L,),
             in_specs=[
-                pl.BlockSpec((B, B), lambda i: (0, 0)),
-                pl.BlockSpec((B, B), lambda i: (0, 0)),
-                pl.BlockSpec((B, B), lambda i: (0, 0)),
+                pl.BlockSpec((Bo, B), lambda i: (0, 0)),
+                pl.BlockSpec((Bo, B), lambda i: (0, 0)),
+                pl.BlockSpec((Bo, B), lambda i: (0, 0)),
                 pl.BlockSpec((4, L), lambda i: (0, i)),
                 pl.BlockSpec((B, L), lambda i: (0, i)),
             ],
-            out_specs=pl.BlockSpec((B, L), lambda i: (0, i)),
-            out_shape=jax.ShapeDtypeStruct((B, Pp), jnp.float32),
+            out_specs=pl.BlockSpec((Bo, L), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((Bo, Pp), jnp.float32),
             interpret=interpret,
         )(px, py, pz, rp, ip)
         return g[:, :P]

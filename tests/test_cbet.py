@@ -356,6 +356,81 @@ def test_cbet_mesh_phantom_beam_padding(profiles):
     assert rel_e < 2e-3, rel_e
 
 
+def test_cbet_mesh_gain_sharded_matches_replicated(profiles):
+    """Config.cbet_gain_sharded (beam-sharded gain table): each shard
+    computes only its own beams' gain rows from the all-gathered intensity
+    and the trace reads them as local static row slices — values must
+    match the replicated-gain mesh solve (identical per-row arithmetic;
+    only data movement differs)."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 cbet_max_iters=3, cbet_tol=1e-4, dtype="float32",
+                 tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    mesh = make_mesh(jax.devices()[:2])
+    res_r = cbet_solve(cfg.replace(cbet_gain_sharded=False), ctx, mesh=mesh,
+                       backend="pallas_interpret")
+    res_s = cbet_solve(cfg.replace(cbet_gain_sharded=True), ctx, mesh=mesh,
+                       backend="pallas_interpret")
+    solver = _get_solver(cfg.replace(cbet_gain_sharded=True), ctx, mesh,
+                         "pallas_interpret", None)
+    assert solver.gain_sharded
+    assert solver.intensity_mode == "beam_sharded"
+    np.testing.assert_allclose(res_s.intensity, res_r.intensity, rtol=1e-6)
+    np.testing.assert_allclose(res_s.edep, res_r.edep, rtol=1e-6)
+    # auto (None) resolves to sharded on this layout
+    solver_auto = _get_solver(cfg, ctx, mesh, "pallas_interpret", None)
+    assert solver_auto.gain_sharded
+
+
+def test_cbet_mesh_gain_sharded_phantom_segmented(profiles):
+    """Beam-sharded gain composed with phantom padding AND segmented
+    traces: 5 beams on 2 devices pad to 6 (20%), the gain table shards
+    (6, P) -> (3, P) blocks with a zero phantom row, and the compacted
+    per-iteration traces read local rows — fixed point matches the
+    single-device solve, with the phantom row cropped from the result."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=5, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 cbet_max_iters=2, cbet_tol=1e-3, dtype="float32",
+                 tiles_per_block=1, cbet_segmented=True)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")
+    mesh = make_mesh(jax.devices()[:2])
+    res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    solver = _get_solver(cfg, ctx, mesh, "pallas_interpret", None)
+    assert solver.gain_sharded and solver.segmented
+    assert solver.crop_intensity == 5
+    assert res2.intensity.shape == (5, 24, 24, 24)
+    rel = (np.linalg.norm(res2.intensity - res1.intensity)
+           / np.linalg.norm(res1.intensity))
+    assert rel < 2e-3, rel
+    rel_e = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel_e < 2e-3, rel_e
+
+
+def test_cbet_gain_sharded_requires_beam_sharded_layout(profiles):
+    """Explicit cbet_gain_sharded=True on a layout that cannot shard the
+    gain table (beam-straddling scatter mesh) fails loud, not silent."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    # 3 beams on 2 devices: pad to 4 = 33% > the 25% phantom budget ->
+    # scatter layout -> no beam sharding to ride on
+    cfg = Config(nbeams=3, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 cbet_max_iters=1, dtype="float32", tiles_per_block=1,
+                 cbet_gain_sharded=True)
+    ctx = rt.prepare(cfg, profiles)
+    mesh = make_mesh(jax.devices()[:2])
+    with pytest.raises(ValueError, match="cbet_gain_sharded"):
+        cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+
+
 def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
     """A mesh CBET solve where beams straddle shards beyond the phantom-pad
     budget (2 beams on 4 devices would need 100% dead-row padding): the
@@ -791,6 +866,26 @@ def test_cbet_gain_kernel_cell_exact(two_beam_cfg, profiles):
         assert cell.stats[key] == exact.stats[key], key
     np.testing.assert_allclose(cell.stats["energy_absorbed"],
                                exact.stats["energy_absorbed"], rtol=1e-12)
+
+
+def test_cbet_gain_kernel_cell_exact_batch10(two_beam_cfg, profiles):
+    """kernel_cell is exact for ANY window size (the one-hot entry-cell
+    sampling and the in-kernel termination rule are per-step): the
+    10-step window must match the per-step lookup as tightly as the
+    5-step one.  (A batch that didn't divide the chunks would raise, not
+    silently fall back — make_cbet_trace_fn fails loud.)"""
+    cfg = two_beam_cfg.replace(dtype="float64", chunk_steps=10,
+                               deposit_batch_steps=10, cbet_max_iters=2)
+    ctx = rt.prepare(cfg, profiles)
+    exact = cbet_solve(cfg.replace(deposit_batch_steps=5), ctx,
+                       backend="scatter")
+    cell = cbet_solve(cfg.replace(cbet_gain_mode="kernel_cell"), ctx,
+                      backend="scatter")
+    rel = (np.linalg.norm(cell.edep - exact.edep)
+           / np.linalg.norm(exact.edep))
+    assert rel < 1e-12, rel
+    for key in ("rays_terminated", "rays_alive_at_end"):
+        assert cell.stats[key] == exact.stats[key], key
 
 
 def test_cbet_gain_kernel_cell_stop0_bit_exact(two_beam_cfg, profiles):

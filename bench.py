@@ -51,6 +51,9 @@ Output fields (the last JSON line is the complete record):
   backend_init_seconds — tunnel/backend bring-up (no reference analog).
   cbet_* — converged exact-model CBET solve (warmup = solver build +
       1-iteration compile absorb; result fetch reported separately).
+  golden_rel_l2 / golden_drift — rel-L2 of this run's OMEGA grid vs the
+      committed golden (artifacts/omega_golden.npz); drift flags > 1e-4
+      (the accuracy bar).  Healthy same-code runs are bit-identical.
 """
 
 import dataclasses
@@ -182,6 +185,27 @@ def main() -> int:
     ray_steps = cfg.total_rays * cfg.nt
     value = ray_steps / t_trace / n_dev
     edep_np = np.asarray(edep_h, np.float64)
+    # OMEGA golden regression check (scripts/record_omega_golden.py — the
+    # portable analog of the reference's `cmp edep_100 truth_100`,
+    # Makefile:14-17): rel-L2 of this run's grid vs the committed golden.
+    # Healthy same-code runs are bit-identical; legitimate algorithm
+    # changes must stay under the 1e-4 accuracy bar or the record flags
+    # golden_drift.
+    golden_check = {}
+    _golden = "artifacts/omega_golden.npz"
+    import os as _os
+    if _os.path.exists(_golden) and jax.default_backend() != "cpu":
+        try:
+            gold = np.load(_golden)
+            if edep_np.shape == gold["edep"].shape:
+                gg = gold["edep"].astype(np.float64)
+                rel = float(np.linalg.norm(edep_np - gg)
+                            / np.linalg.norm(gg))
+                golden_check = {"golden_rel_l2": rel}
+                if rel > 1e-4:
+                    golden_check["golden_drift"] = True
+        except Exception as e:
+            golden_check = {"golden_error": repr(e)[:120]}
     out = {
         "metric": "ray_steps_per_sec_per_chip",
         "value": round(value, 1),
@@ -205,6 +229,7 @@ def main() -> int:
         "rays": cfg.total_rays,
         "nt": cfg.nt,
         "edep_total": float(edep_np.sum()),
+        **golden_check,
     }
     print(json.dumps(out), flush=True)
 
@@ -218,19 +243,28 @@ def main() -> int:
 
         from cbet_raytracing_3d_tpu.models.cbet import cbet_solve
 
-        # the exact (per-step, oracle-validated) model on its fast path:
-        # segmented CBET traces + per-beam-sliced gain gathers are BOTH
-        # value-identical to the plain exact solve (measured rel-L2 0.0 on
-        # chip, artifacts/cbet_r03.json) — this is still the exact model.
-        # plan_headroom=0.5 tightens the segment plan (bit-identical on
-        # chip, artifacts/cbet_decomp_r03c.json; OMEGA amplification peaks
-        # ~1.3x vs the 2x this tolerates) and is SAFE BY RETRY: a violated
-        # plan re-solves gain-proof instead of erroring (cbet_solve)
-        # segmented everywhere it applies: single device, or a beam-sharded
-        # mesh (whole beams per shard); scatter-layout meshes fall back
-        # unsegmented with a warning inside the solver
-        cfg_exact = _dc.replace(cfg, cbet_segmented=True,
-                                cbet_plan_headroom=0.5)
+        # the exact model on its fast path — every lever below is value-
+        # preserving, not an approximation:
+        # * segmented CBET traces + per-beam-sliced gain gathers: value-
+        #   identical to the plain exact solve (rel-L2 0.0 on chip,
+        #   artifacts/cbet_r03.json)
+        # * plan_headroom=0.5: tighter segment plan, bit-identical on chip
+        #   (artifacts/cbet_decomp_r03c.json) and SAFE BY RETRY (cbet_solve
+        #   re-plans gain-proof if ever violated)
+        # * cbet_gain_mode="kernel_cell" (single-device only; a mesh falls
+        #   back by the solver's own validation): the Pallas one-hot
+        #   in-kernel gain with the exact termination rule — IDENTICAL
+        #   model to the per-step lookup (f64 oracle tests at 1e-12 WITH
+        #   terminations; on-chip rel-L2 2.2e-7 = f32 chip noise with the
+        #   same convergence history, artifacts/cbet_r04.json) that removes
+        #   the dominant per-step gain gathers (32.5 -> 28.1 s)
+        # * light iterations (auto): intermediate iterations skip the edep
+        #   deposit they discard; one full trace reproduces it bit-equal
+        #   (test_cbet_light_iterations_identical)
+        cbet_kw = dict(cbet_segmented=True, cbet_plan_headroom=0.5)
+        if n_dev == 1:
+            cbet_kw["cbet_gain_mode"] = "kernel_cell"
+        cfg_exact = _dc.replace(cfg, **cbet_kw)
         t0 = time.perf_counter()
         cbet_solve(_dc.replace(cfg_exact, cbet_max_iters=1), ctx,
                    cache_dir=".cbet_cache")

@@ -158,6 +158,19 @@ class Config:
     # if the layout doesn't (beam-straddling scatter meshes, kernel gain
     # modes); False forces the replicated table.
     cbet_gain_sharded: bool | None = None
+    # LIGHT fixed-point iterations: intermediate CBET iterations discard
+    # their edep grid (each iteration's trace overwrites it; only the
+    # final one is the answer), so they can skip the edep deposit — the
+    # gain-window kernel runs in a gamma/uout-only mode (no M-build, no
+    # deposit matmul, no grid RMW) and the batched lookup path skips the
+    # edeposit call.  After convergence, ONE extra full trace with the
+    # same gain the final iteration used produces edep — the results are
+    # IDENTICAL to the non-light solve (same gain -> same trace; tested
+    # bit-equal), this is pure dead-work elimination, not a model change.
+    # None = auto: ON single-device whenever the trace path supports it
+    # (kernel gain modes, or the batched grouped lookup); True errors if
+    # unsupported; False forces full iterations.
+    cbet_light_iterations: bool | None = None
     # Static mid-trace tile compaction inside the CBET fixed-point traces:
     # the tile plan is measured with stop_fraction=0 — rays then live until
     # box exit, a strict superset of liveness under ANY gain (gain never

@@ -369,6 +369,7 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        segments=None, seg_tpgs=None,
                        n_local_beams: int | None = None,
                        gain_local: bool = False,
+                       edep_skip: bool = False,
                        _ablate: str = ""):
     """Gain-aware trace builder; ``make()`` returns
     ``(field4, gain (B,P), bid (N,), state0) -> (edep, intensity (B,P),
@@ -510,6 +511,11 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 "cbet_gain_mode='kernel'/'kernel_cell' on a Pallas backend "
                 "is single-device VMEM-grid only (beam-contiguous tile "
                 "groups); use 'lookup' for pallas_hbm or sharded solves")
+    if edep_skip and batch <= 1:
+        raise ValueError(
+            "edep_skip (light CBET iterations) requires a batched deposit "
+            "path — a kernel gain mode, or deposit_batch_steps > 1 dividing "
+            "the chunk lengths with the grouped Pallas intensity")
     if batch > 1:
         dstep = rt.make_deferred_step_fn(cfg)
     if kernel_gain:
@@ -539,14 +545,19 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         ideposit_s = edeposit_s = None
         if batch > 1:
             if kernel_gain and pallas:
+                # edep_skip: the gamma/uout-only kernel — same signature,
+                # edep passed through untouched (light iterations)
                 edeposit_s = make_tile_deposit(
                     nx, ny, nz, rpt * batch, box=cfg.deposit_box,
                     tiles_per_block=cfg.tiles_per_block,
                     gain_window=(nb, tpg_s, batch, GAIN_CLIP,
                                  "cell" if kernel_cell else "tri",
                                  cfg.stop_fraction),
+                    gain_only=edep_skip,
                     interpret=backend.endswith("_interpret"),
                     precise=kernel_precise)
+            elif pallas and edep_skip:
+                edeposit_s = None        # light lookup: no edep deposit
             elif pallas:
                 edeposit_s = rt._make_deposit_fn(cfg, rpt * batch, backend)
         if grouped_pallas:
@@ -859,10 +870,11 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                     for j in range(batch):
                         cj = tuple(c[j] for c in cell)
                         fj = tuple(f[j] for f in frac)
-                        idx, val = rt._scatter_corner_parts(cfg, cj, fj,
-                                                            inc_c[j])
-                        edep = edep.reshape(-1).at[idx].add(val).reshape(
-                            edep.shape)
+                        if not edep_skip:
+                            idx, val = rt._scatter_corner_parts(cfg, cj, fj,
+                                                                inc_c[j])
+                            edep = edep.reshape(-1).at[idx].add(val).reshape(
+                                edep.shape)
                         if "no_intensity" not in _ablate:
                             icell, ifrac = to_coarse(cj, fj)
                             idx2, val2 = rt._scatter_corner_parts(
@@ -937,7 +949,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                 .transpose(1, 0, 2).reshape(-1))
 
                     args = [rearrange(a) for a in ys]
-                    edep, of_e = edeposit(edep, *args[:7])
+                    if edeposit is None:           # light lookup iteration
+                        of_e = jnp.int32(0)
+                    else:
+                        edep, of_e = edeposit(edep, *args[:7])
                     if "no_intensity" in _ablate:
                         of_i = jnp.int32(0)
                     else:
@@ -1087,6 +1102,9 @@ class _CbetSolver:
     gain_fn: Any
     upsample: Any
     trace: Any                 # (field4, gain, bid, state0) -> checked outputs
+    # edep-skipping variant for intermediate iterations (None when the
+    # path can't skip): identical state/intensity evolution, edep untouched
+    trace_light: Any
     step_update: Any
     state0: rt.RayState
     bid: jnp.ndarray
@@ -1331,37 +1349,66 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     else:
         trace_j = jax.jit(local)
 
-    def trace(field4, gain, bid_, st):
-        """One gain-coupled trace + the hard-error checks, fenced with a
-        single scalar fetch."""
-        out = trace_j(field4, gain, bid_, st)
-        if segments is not None:
-            edep, inodes, st2, of, dropped = out
-            of, nd = (int(x) for x in jax.device_get((of, dropped)))
-            if nd:
-                if cfg.cbet_plan_headroom > 0.0:
+    def _checked(trace_j):
+        def trace(field4, gain, bid_, st):
+            """One gain-coupled trace + the hard-error checks, fenced with
+            a single scalar fetch."""
+            out = trace_j(field4, gain, bid_, st)
+            if segments is not None:
+                edep, inodes, st2, of, dropped = out
+                of, nd = (int(x) for x in jax.device_get((of, dropped)))
+                if nd:
+                    if cfg.cbet_plan_headroom > 0.0:
+                        raise DroppedAliveRaysError(
+                            f"CBET compaction dropped {nd} still-alive rays "
+                            "— the cbet_plan_headroom="
+                            f"{cfg.cbet_plan_headroom} liveness assumption "
+                            "was violated (a ray was amplified past its "
+                            "planned-death threshold)")
                     raise DroppedAliveRaysError(
                         f"CBET compaction dropped {nd} still-alive rays — "
-                        f"the cbet_plan_headroom={cfg.cbet_plan_headroom} "
-                        "liveness assumption was violated (a ray was "
-                        "amplified past its planned-death threshold)")
-                raise DroppedAliveRaysError(
-                    f"CBET compaction dropped {nd} still-alive rays — the "
-                    "gain-proof tile plan was violated (stale plan cache?); "
-                    "clear the plan cache or set cbet_segmented=False")
-        else:
-            edep, inodes, st2, of = out
-            of = int(jax.device_get(of))
-        rt.check_overflow(of, cfg)
-        if nb_pad != cfg.nbeams and not gain_sharded:
-            # crop the phantom (all-dead padding) beams' zero rows off the
-            # beam-sharded intensity; edep/state are beam-agnostic.  When
-            # the gain table is beam-sharded (gain_sharded), the phantom
-            # rows stay through the whole iteration (they carry exact
-            # zeros and keep the beam axis evenly sharded); the final
-            # result crops them once (_cbet_solve_once)
-            inodes = inodes[:cfg.nbeams]
-        return edep, inodes, st2
+                        "the gain-proof tile plan was violated (stale plan "
+                        "cache?); clear the plan cache or set "
+                        "cbet_segmented=False")
+            else:
+                edep, inodes, st2, of = out
+                of = int(jax.device_get(of))
+            rt.check_overflow(of, cfg)
+            if nb_pad != cfg.nbeams and not gain_sharded:
+                # crop the phantom (all-dead padding) beams' zero rows off
+                # the beam-sharded intensity; edep/state are beam-agnostic.
+                # When the gain table is beam-sharded (gain_sharded), the
+                # phantom rows stay through the whole iteration (they carry
+                # exact zeros and keep the beam axis evenly sharded); the
+                # final result crops them once (_cbet_solve_once)
+                inodes = inodes[:cfg.nbeams]
+            return edep, inodes, st2
+        return trace
+
+    trace = _checked(trace_j)
+
+    # LIGHT iteration trace (Config.cbet_light_iterations): same trace
+    # with the edep deposit skipped — intermediate fixed-point iterations
+    # discard edep, so the final full trace (same gain) reproduces it
+    # identically.  Single-device this round; auto (None) degrades to full
+    # iterations where the path can't skip, explicit True fails loud.
+    trace_light = None
+    if n_dev > 1:
+        if cfg.cbet_light_iterations:
+            raise ValueError(
+                "cbet_light_iterations=True is single-device only (mesh "
+                "solves run full iterations)")
+    elif cfg.cbet_light_iterations is not False:
+        try:
+            local_light = make_cbet_trace_fn(
+                cfg, ctx, backend, intensity_scatter=False,
+                tiles_per_group=tpg, segments=segments, seg_tpgs=seg_tpgs,
+                n_local_beams=n_local, gain_local=gain_sharded,
+                edep_skip=True)()
+            trace_light = _checked(jax.jit(local_light))
+        except ValueError:
+            if cfg.cbet_light_iterations:
+                raise
 
     # the per-step lookup table is always full-resolution; coarse gain
     # fields (cbet_grid_downsample > 1) are trilinearly upsampled once per
@@ -1403,6 +1450,7 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     else:
         imode = "beam_sharded" if n_local is not None else "scatter"
     return _CbetSolver(gain_fn=gain_fn, upsample=upsample, trace=trace,
+                       trace_light=trace_light,
                        step_update=_step_update, state0=state0, bid=bid,
                        make_zero_gain=make_zero_gain, intensity_mode=imode,
                        segmented=segments is not None,
@@ -1472,8 +1520,12 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     nb = cfg.nbeams
 
     gain_dtype = jnp.dtype(cfg.dtype)
-    edep, intensity, state = trace(ctx.field4, solver.make_zero_gain(),
-                                   bid, state0)
+    # light iterations (solver.trace_light): every fixed-point iteration
+    # skips the edep deposit it would discard; ONE full trace with the
+    # final iteration's gain reproduces edep identically afterwards
+    tr_it = solver.trace_light or solver.trace
+    gain_last = solver.make_zero_gain()
+    edep, intensity, state = tr_it(ctx.field4, gain_last, bid, state0)
     history = []
     converged = False
     it = 0
@@ -1493,7 +1545,8 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
             # land in the trace bucket (the repeated measurement landmine)
             jax.device_get(gain[0, 0])
         _t1 = _time.perf_counter()
-        edep, i_new, state = trace(ctx.field4, gain, bid, state0)
+        gain_last = gain
+        edep, i_new, state = tr_it(ctx.field4, gain, bid, state0)
         _t2 = _time.perf_counter()
         d_dev, s_dev, blended = solver.step_update(
             i_new, intensity, float(cfg.cbet_relax))
@@ -1509,6 +1562,16 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
             converged = True
             break
         intensity = blended
+
+    if solver.trace_light is not None:
+        # the final full trace: same gain as the last executed iteration ->
+        # identical edep/state/intensity to the non-light solve (pure
+        # dead-work elimination; tested bit-equal)
+        _t0 = _time.perf_counter()
+        edep, _, state = solver.trace(ctx.field4, gain_last, bid, state0)
+        if verbose:
+            print(f"cbet final edep trace {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
 
     # result materialization: the converged fields + final ray state leave
     # the device here (~250 MB at OMEGA scale).  Timed separately in stats:
@@ -1529,6 +1592,7 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     stats["intensity_mode"] = solver.intensity_mode
     stats["segmented"] = solver.segmented
     stats["gain_sharded"] = solver.gain_sharded
+    stats["light_iterations"] = solver.trace_light is not None
     return CbetResult(
         edep=edep_h, intensity=inten_h,
         iterations=it, converged=converged, history=history, stats=stats)

@@ -62,7 +62,13 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
     # traffic per step.
     # gain-window mode (gain_cfg != None): rest = (gain_tab_ref,
     # edep_out_ref, oflow_ref, gamma_ref) — see _tile_ebox.
-    if gain_cfg is not None:
+    if gain_cfg is not None and len(rest) == 4:
+        # gain-only (light-iteration) mode: gamma/uout computed, NO edep
+        # deposit — intermediate CBET fixed-point iterations discard edep,
+        # so the M-build + deposit matmul + grid RMW are skipped entirely
+        gain_tab_ref, oflow_ref, gamma_ref, uout_ref = rest
+        edep_in_ref = edep_out_ref = None
+    elif gain_cfg is not None:
         gain_tab_ref, edep_out_ref, oflow_ref, gamma_ref, uout_ref = rest
         edep_in_ref = None
     elif len(rest) == 2:
@@ -75,12 +81,13 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
     def _init_oflow():
         oflow_ref[0, 0] = jnp.int32(0)
 
-    @pl.when((i * tb) % tiles_per_group == 0)
-    def _init_grid():
-        if edep_in_ref is None:
-            edep_out_ref[...] = jnp.zeros_like(edep_out_ref)
-        else:
-            edep_out_ref[...] = edep_in_ref[...]
+    if edep_out_ref is not None:
+        @pl.when((i * tb) % tiles_per_group == 0)
+        def _init_grid():
+            if edep_in_ref is None:
+                edep_out_ref[...] = jnp.zeros_like(edep_out_ref)
+            else:
+                edep_out_ref[...] = edep_in_ref[...]
 
     if gain_cfg is not None:
         # a skipped (no-deposit) tile must still report identity gains and
@@ -116,11 +123,13 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
                 [ints_ref[t, a, :] for a in range(3)],
                 [flts_ref[t, a, :] for a in range(min(nflt, 4))],
                 xyidx_ref, zframe0=0, zmax=ZLANES, bx=bx, byk=byk, bz=bz,
-                nxp=nxp, nyp=nyp, ablate=ablate, gain=gain, precise=precise)
+                nxp=nxp, nyp=nyp, ablate=ablate, gain=gain, precise=precise,
+                deposit=edep_out_ref is not None)
             box, x0, y0, bad = out[:4]
             oflow_ref[0, 0] += bad
-            cur = edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :]
-            edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :] = cur + box
+            if edep_out_ref is not None:
+                cur = edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :]
+                edep_out_ref[pl.ds(x0, bx), pl.ds(y0, byk), :] = cur + box
             if gain_cfg is not None:
                 gamma_ref[t, :] = out[4]
                 uout_ref[t, :] = out[5]
@@ -131,7 +140,8 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
 
 
 def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
-               nxp, nyp, frame=ZLANES, ablate="", gain=None, precise=False):
+               nxp, nyp, frame=ZLANES, ablate="", gain=None, precise=False,
+               deposit=True):
     """One tile's deposit box: per-axis hat weights contracted over rays on
     the MXU.  Takes the tile's loaded (R,) cell/frac/inc vectors (loaded, not
     ref slices — Mosaic memref slicing needs 128-aligned lane dims).
@@ -228,7 +238,14 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     cdt = jnp.float32 if precise else jnp.bfloat16
     xx_of = xyidx_ref[0:1, :].astype(jnp.float32)    # (1, BX*BYK)
     yy_of = xyidx_ref[1:2, :].astype(jnp.float32)
-    if ablate == "no_mbuild":
+    # gain-only (no-deposit) calls skip the M-build and z-hat entirely
+    # unless the "tri" gain mode needs them as its selection rows — the
+    # whole point of the light-iteration kernel (intermediate CBET
+    # iterations discard edep; see _make_tile_deposit_gain)
+    need_mb = deposit or (gain is not None and gain[2][2] == "tri")
+    if not need_mb:
+        mb = hz = None
+    elif ablate == "no_mbuild":
         mb = jnp.full((r, bx * byk), 0.01, cdt)
     elif ablate == "small_hats":
         # candidate build (identical values): per-axis hats on SMALL
@@ -257,9 +274,10 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
         # (bf16 hat arithmetic measured SLOWER — the VPU has no 2x
         # bf16 rate and the casts add passes)
         mb = (hat(xx_of, qx) * hat(yy_of, qy)).astype(cdt)
-    iota_z = jax.lax.broadcasted_iota(
-        jnp.int32, (r, bz), 1).astype(jnp.float32)
-    hz = hat(iota_z, qz)
+    if need_mb:
+        iota_z = jax.lax.broadcasted_iota(
+            jnp.int32, (r, bz), 1).astype(jnp.float32)
+        hz = hat(iota_z, qz)
 
     gam_cum = None
     gain_extra = None
@@ -375,6 +393,17 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
         gain_extra = (gain_extra if gain_extra is not None
                       else jnp.int32(0)), uout[:, 0]
 
+    if not deposit:
+        # gain-only: no deposit box (the caller stores nothing); the
+        # deposit-box bounds check above still ran so the overflow
+        # semantics match the full kernel's exactly
+        out = (None, x0, y0, bad_count)
+        if gain is not None:
+            bad_gain, uout_rows = gain_extra
+            out = (None, x0, y0, bad_count + bad_gain,
+                   gam_cum[:, 0], uout_rows)
+        return out
+
     # wi carries the (large) increment: split hi/lo so its value
     # keeps ~16 mantissa bits; hi and lo ride side-by-side in the
     # lane dim so ONE matmul covers both (the MXU pads lanes to 128
@@ -475,6 +504,7 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
                       n_groups: int = 1, tiles_per_group: int | None = None,
                       interpret: bool = False, _ablate: str = "",
                       gain_window: tuple | None = None,
+                      gain_only: bool = False,
                       precise: bool = False):
     """Build the deposit function
     ``(edep, cx, cy, cz, fx, fy, fz, inc) -> (edep, overflow)``.
@@ -516,7 +546,10 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         assert n_groups == 1, "gain-window mode is ungrouped-only"
         return _make_tile_deposit_gain(
             nxp=nxp, nzp=nzp, yp=yp, bx=bx, byk=byk, bz=bz, r=r, tb=tb,
-            gain_window=gain_window, interpret=interpret, precise=precise)
+            gain_window=gain_window, interpret=interpret, precise=precise,
+            gain_only=gain_only)
+    if gain_only:
+        raise ValueError("gain_only requires gain_window")
 
     def deposit(edep, cx, cy, cz, fx, fy, fz, inc):
         n_tiles = cx.shape[0] // r
@@ -624,7 +657,8 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
 
 
 def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
-                            gain_window, interpret, precise):
+                            gain_window, interpret, precise,
+                            gain_only=False):
     """The CBET window-gain deposit builder (see make_tile_deposit).
 
     The per-beam gain table rides as a grouped VMEM input block (one 128-
@@ -642,7 +676,14 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
     post-step aliveness (multiply the gain-free intensity contributions),
     and ``uout`` the (n_tiles, rays_per_tile) exact frozen true energy per
     ray at the window end (callers update ``uray`` and re-derive ``alive``
-    as ``uout > stop_fraction * uray_init``)."""
+    as ``uout > stop_fraction * uray_init``).
+
+    ``gain_only`` (light CBET iterations, Config.cbet_light_iterations):
+    gamma/uout only — ``edep`` is passed through UNTOUCHED and the
+    M-build, deposit matmul, and grid read-modify-write are skipped
+    entirely (intermediate fixed-point iterations discard edep; only the
+    final trace needs it).  Overflow semantics are identical to the full
+    kernel's (the deposit-box bounds check still counts)."""
     n_beams, tpg_gain, batch, clip, mode, stop_frac = gain_window
     assert mode in ("tri", "cell"), mode
     assert tpg_gain % tb == 0, (tpg_gain, tb)
@@ -677,9 +718,33 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
             gain_cfg=(batch, float(clip), mode, float(stop_frac)),
             precise=precise)
 
-        def kernel_fn(i_ref, f_ref, xy_ref, g_ref, eout, of, gam, uo):
-            kern(i_ref, f_ref, xy_ref, g_ref, eout, of, gam, uo)
+        if gain_only:
+            def kernel_fn(i_ref, f_ref, xy_ref, g_ref, of, gam, uo):
+                kern(i_ref, f_ref, xy_ref, g_ref, of, gam, uo)
+        else:
+            def kernel_fn(i_ref, f_ref, xy_ref, g_ref, eout, of, gam, uo):
+                kern(i_ref, f_ref, xy_ref, g_ref, eout, of, gam, uo)
 
+        out_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, r), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, rpt), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, r), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, rpt), jnp.float32),
+        ]
+        if not gain_only:
+            out_specs.insert(0, pl.BlockSpec((nxp, yp, ZLANES),
+                                             lambda i: (0, 0, 0),
+                                             memory_space=pltpu.VMEM))
+            out_shape.insert(0,
+                             jax.ShapeDtypeStruct((nxp, yp, ZLANES),
+                                                  jnp.float32))
         grid_spec = pl.GridSpec(
             grid=(n_tiles // tb,),
             in_specs=[
@@ -694,16 +759,7 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
                              memory_space=pltpu.VMEM,
                              pipeline_mode=pl.Buffered(buffer_count=1)),
             ],
-            out_specs=[
-                pl.BlockSpec((nxp, yp, ZLANES), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((tb, r), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, rpt), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs,
         )
         ints = jnp.stack([a.reshape(n_tiles, r) for a in int_streams],
                          axis=1)
@@ -713,15 +769,10 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
         jxy = jnp.arange(bx * byk, dtype=jnp.int32)
         xyidx = jnp.stack([jxy // byk, jxy % byk])
 
-        delta, oflow, gamma, uout = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel_fn,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((nxp, yp, ZLANES), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, r), jnp.float32),
-                jax.ShapeDtypeStruct((n_tiles, rpt), jnp.float32),
-            ],
+            out_shape=out_shape,
             # the beam-gain input block (5.3 MB at 100^3) + the batched
             # hat/M/t1 temporaries exceed the 16 MB default scoped budget;
             # v5e has 128 MiB physical VMEM
@@ -729,6 +780,10 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(ints, flts, xyidx, gain_tab)
+        if gain_only:
+            oflow, gamma, uout = outs
+            return edep, oflow[0, 0], gamma, uout
+        delta, oflow, gamma, uout = outs
         return edep + delta, oflow[0, 0], gamma, uout
 
     return deposit

@@ -296,6 +296,193 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
     return RunResult(cfg=cfg, edep=edep, stats=stats, timings=timers.as_dict())
 
 
+def run_composed(cfg: Config, *, min_tiles: int = 0,
+                 backend: str | None = None, cache_dir: str | None = None,
+                 checkpoint_path: str | None = None, resume: bool = False,
+                 checkpoint_every_chunks: int | None = None,
+                 verbose: bool = True,
+                 stop_after_chunks: int | None = None) -> RunResult | None:
+    """The composed large-scale trace (the BASELINE config-4 path) as a
+    library capability: on-device init + host-orchestrated SEGMENTED tile
+    compaction on a cached tile plan (chunk-by-chunk dispatch — the
+    tunneled worker kills single multi-minute executions) + float64-
+    equivalent master accumulation (binary-counter pairwise f32 reducer,
+    log-depth), now interrupt-safe.
+
+    Checkpointing (``checkpoint_path``): after every segment's last chunk
+    and every ``checkpoint_every_chunks`` chunks (if set), the current
+    state, the full-slot accounting arrays, and the pairwise accumulator
+    LEVELS are written atomically; ``resume=True`` continues from the last
+    saved chunk with a bit-identical master (levels restored, not
+    collapsed).  The checkpoint fingerprint covers config + segmentation +
+    backend.  In an environment with recorded 1->6.5 h tunnel outages this
+    is operational, not cosmetic (VERDICT r3).  The reference has no
+    analog (one-shot runs, SURVEY.md §5.4).
+
+    ``stop_after_chunks`` (tests/drills): checkpoint and return ``None``
+    after that many chunks have been executed in THIS invocation."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from .models import tileplan as tp
+    from .models.raytracer import make_chunk_delta_fn, trace_shapes
+    from .utils.checkpoint import (config_fingerprint,
+                                   load_composed_checkpoint,
+                                   save_composed_checkpoint)
+
+    if backend is None:
+        backend = rt.resolve_deposit_backend(cfg)
+    timers = PhaseTimers()
+    with timers.phase("Init"):
+        if jax.default_backend() != "cpu":
+            ctx = rt.prepare_device(cfg)
+            s0 = ctx.state0
+        else:
+            ctx = rt.prepare(cfg, host_state=True, cache_dir=cache_dir)
+            s0 = sh.put_state(sh.pad_rays(
+                rt.select_rays(ctx.state0, ctx.live_slots),
+                ctx.layout.rays_per_tile * cfg.tiles_per_block))
+            ctx = _dc.replace(ctx, field4=jnp.asarray(ctx.field4))
+        rpt = ctx.layout.rays_per_tile
+        plan = tp.get_or_measure_plan(cfg, ctx, s0, cache_dir,
+                                      hosted=backend == "pallas_hbm")
+        segments = tp.build_segments(plan, cfg, cfg.nt, min_tiles=min_tiles)
+        chunk_fn = jax.jit(make_chunk_delta_fn(cfg, rpt, backend),
+                           donate_argnums=(1, 2))
+        add = jax.jit(lambda a, b: a + b, donate_argnums=(0, 1))
+        _, finalize = trace_shapes(cfg, backend)
+        n0 = len(segments[0].tiles) * rpt
+        # the run fingerprint covers everything that shapes the chunk
+        # schedule and state layouts — resuming across any of these would
+        # misalign slots silently
+        fingerprint = (f"{config_fingerprint(cfg)}-mt{min_tiles}"
+                       f"-{backend}-s{len(segments)}")
+        # host copies for the final accounting: chunk_fn donates its state
+        # argument, so s0's buffers die with the first chunk call
+        uray_init_h = np.asarray(jax.device_get(s0.uray_init))
+        alive0_h = np.asarray(jax.device_get(s0.alive))
+        _copy = jax.jit(lambda a: a.copy())
+        wb = jax.jit(lambda uf, af, u, a, ix: (
+            uf.at[ix].set(u, mode="drop"), af.at[ix].set(a, mode="drop")),
+            donate_argnums=(0, 1))
+
+        def origin_slots(seg):
+            return jnp.asarray(tp.origin_slots(seg.tiles, seg.valid, rpt,
+                                               n0))
+
+        start_ci = 0
+        slots_acc: dict[int, Any] = {}
+        oflow = jnp.int32(0)
+        state = s0
+        uray_full, alive_full = _copy(s0.uray), _copy(s0.alive)
+        if resume:
+            (start_ci, state, uray_full, alive_full, slots_acc,
+             of0) = load_composed_checkpoint(checkpoint_path, fingerprint)
+            oflow = jnp.int32(of0)
+            if verbose:
+                print(f"resumed at chunk {start_ci}", file=sys.stderr)
+
+    def acc_push(delta):
+        lvl = 0
+        while lvl in slots_acc:
+            delta = add(slots_acc.pop(lvl), delta)
+            lvl += 1
+        slots_acc[lvl] = delta
+
+    def save(ci):
+        save_composed_checkpoint(checkpoint_path, fingerprint, ci, state,
+                                 uray_full, alive_full, slots_acc,
+                                 int(jax.device_get(oflow)))
+
+    executed = 0
+    ci = 0
+    with timers.phase("Tracing"):
+        for si, seg in enumerate(segments):
+            lens = seg.chunk_lengths
+            if ci + len(lens) <= start_ci:
+                ci += len(lens)        # segment fully done before resume
+                continue
+            if si > 0 and ci >= start_ci:
+                # entering this segment fresh (the previous one ran in
+                # THIS invocation, or the checkpoint sat exactly at the
+                # boundary — checkpointed state is always pre-gather):
+                # write back the finished tiles' final state and compact
+                prev = segments[si - 1]
+                uray_full, alive_full = wb(uray_full, alive_full,
+                                           state.uray, state.alive,
+                                           origin_slots(prev))
+                pos = tp.segment_gather_rows(prev, seg,
+                                             int(prev.tiles.max()) + 1)
+                t_prev = len(prev.tiles)
+                pos_j = jnp.asarray(pos)
+                val_j = jnp.asarray(np.repeat(seg.valid, rpt))
+                def _gath(st, p=pos_j, v=val_j, t=t_prev):
+                    st = jax.tree_util.tree_map(
+                        lambda a: a.reshape(t, rpt)[p].reshape(-1), st)
+                    return _dc.replace(st, alive=st.alive & v)
+
+                state = jax.jit(_gath)(state)
+                if verbose:
+                    print(f"  segment {si}: tiles {t_prev} -> "
+                          f"{len(seg.tiles)}", file=sys.stderr)
+            for steps in lens:
+                if ci < start_ci:
+                    ci += 1
+                    continue
+                state, delta, oflow = chunk_fn(ctx.field4, state, oflow,
+                                               jnp.int32(steps))
+                acc_push(delta)
+                jax.device_get(oflow)      # fence (chunked dispatch)
+                ci += 1
+                executed += 1
+                if verbose:
+                    print(f"  chunk {ci}", file=sys.stderr)
+                if (checkpoint_path and checkpoint_every_chunks
+                        and executed % checkpoint_every_chunks == 0):
+                    save(ci)
+                if stop_after_chunks and executed >= stop_after_chunks:
+                    if checkpoint_path:
+                        save(ci)
+                    return None
+            if checkpoint_path and si < len(segments) - 1:
+                save(ci)                   # segment boundary (pre-gather)
+
+        uray_full, alive_full = wb(uray_full, alive_full, state.uray,
+                                   state.alive,
+                                   origin_slots(segments[-1]))
+        master = None
+        for g in slots_acc.values():
+            master = g if master is None else add(master, g)
+        of = int(jax.device_get(oflow))
+
+    with timers.phase("Combining"):
+        edep = np.asarray(jax.device_get(finalize(master)), np.float64)
+        uray_h = np.asarray(jax.device_get(uray_full), np.float64)
+        alive_h = np.asarray(jax.device_get(alive_full))
+
+    rt.check_overflow(of, cfg)
+    launched = int(alive0_h.sum())
+    alive_end = int(alive_h.sum())
+    absorbed = float(np.sum((uray_init_h - uray_h)[alive0_h]))
+    stats = {
+        "rays_total": int(cfg.total_rays),
+        "rays_launched": launched,
+        "rays_alive_at_end": alive_end,
+        "rays_terminated": launched - alive_end,
+        "energy_launched": float(np.sum(
+            np.asarray(uray_init_h, np.float64)[alive0_h])),
+        "energy_absorbed": absorbed,
+        "edep_total": float(edep.sum()),
+        "segments": len(segments),
+        "chunks": ci,
+    }
+    if verbose:
+        print(timers.report(), file=sys.stderr)
+    return RunResult(cfg=cfg, edep=edep, stats=stats,
+                     timings=timers.as_dict())
+
+
 def write_outputs(res: RunResult, outdir: str, formats: tuple[str, ...] = ("npz",),
                   basename: str = "edep") -> list[str]:
     """Persist a run.  When the run included the CBET stage, the CBET-coupled

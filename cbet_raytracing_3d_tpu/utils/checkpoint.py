@@ -54,6 +54,81 @@ def save_checkpoint(path: str, cfg: Config, chunk_index: int,
     os.replace(tmp, path)
 
 
+COMPOSED_VERSION = 1
+
+
+def _state_payload(state: RayState) -> dict:
+    return dict(
+        frac=np.stack([np.asarray(a) for a in state.frac]),
+        vel=np.stack([np.asarray(a) for a in state.vel]),
+        kick=np.stack([np.asarray(a) for a in state.kick]),
+        uray=np.asarray(state.uray),
+        uray_init=np.asarray(state.uray_init),
+        cell=np.stack([np.asarray(a) for a in state.cell]),
+        alive=np.asarray(state.alive),
+    )
+
+
+def _state_from(data) -> RayState:
+    return RayState(
+        frac=tuple(jnp.asarray(data["frac"][i]) for i in range(3)),
+        vel=tuple(jnp.asarray(data["vel"][i]) for i in range(3)),
+        kick=tuple(jnp.asarray(data["kick"][i]) for i in range(3)),
+        uray=jnp.asarray(data["uray"]),
+        uray_init=jnp.asarray(data["uray_init"]),
+        cell=tuple(jnp.asarray(data["cell"][i]) for i in range(3)),
+        alive=jnp.asarray(data["alive"]),
+    )
+
+
+def save_composed_checkpoint(path: str, fingerprint: str, chunk_index: int,
+                             state: RayState, uray_full, alive_full,
+                             acc_levels: dict, oflow: int) -> None:
+    """Checkpoint of the host-orchestrated composed trace
+    (``runner.run_composed``): the (current-segment-compacted) ray state
+    AFTER ``chunk_index`` completed chunks, the full-slot uray/alive
+    accounting arrays, and the binary-counter pairwise accumulator LEVELS
+    (restored level-by-level, so a resumed run's master is bit-identical
+    to an uninterrupted one).  Atomic via temp+rename."""
+    import os
+    tmp = path + ".tmp.npz"
+    payload = dict(
+        composed_version=COMPOSED_VERSION,
+        fingerprint=fingerprint,
+        chunk_index=chunk_index,
+        oflow=int(oflow),
+        uray_full=np.asarray(uray_full),
+        alive_full=np.asarray(alive_full),
+        acc_levels=np.asarray(sorted(acc_levels), np.int64),
+        **_state_payload(state),
+    )
+    for lvl in sorted(acc_levels):
+        payload[f"acc_{lvl}"] = np.asarray(acc_levels[lvl])
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_composed_checkpoint(path: str, fingerprint: str):
+    """Returns ``(chunk_index, state, uray_full, alive_full, acc_levels,
+    oflow)``; validates the run fingerprint (config + segmentation +
+    backend) so a checkpoint can't resume a structurally different run."""
+    data = np.load(path)
+    if int(data["composed_version"]) != COMPOSED_VERSION:
+        raise ValueError(
+            f"unsupported composed checkpoint version: "
+            f"{data['composed_version']}")
+    fp = str(data["fingerprint"])
+    if fp != fingerprint:
+        raise ValueError(
+            f"checkpoint fingerprint {fp} does not match this run's "
+            f"{fingerprint} (different config/segmentation/backend)")
+    acc = {int(lvl): jnp.asarray(data[f"acc_{lvl}"])
+           for lvl in data["acc_levels"]}
+    return (int(data["chunk_index"]), _state_from(data),
+            jnp.asarray(data["uray_full"]), jnp.asarray(data["alive_full"]),
+            acc, int(data["oflow"]))
+
+
 def load_checkpoint(path: str, cfg: Config):
     """Returns (chunk_index, master, RayState, oflow); validates the config
     fingerprint so a checkpoint can't silently resume a different run."""

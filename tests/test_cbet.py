@@ -888,6 +888,69 @@ def test_cbet_gain_kernel_cell_exact_batch10(two_beam_cfg, profiles):
         assert cell.stats[key] == exact.stats[key], key
 
 
+def test_cbet_light_iterations_identical(two_beam_cfg, profiles):
+    """Config.cbet_light_iterations: intermediate iterations skip the edep
+    deposit they discard and one full trace with the final gain reproduces
+    it — results must be IDENTICAL to the full solve (dead-work
+    elimination, not a model change).  Both the XLA window form and the
+    Pallas gamma/uout-only kernel."""
+    cfg = two_beam_cfg.replace(dtype="float64", chunk_steps=10,
+                               deposit_batch_steps=5, cbet_max_iters=3,
+                               cbet_gain_mode="kernel_cell")
+    ctx = rt.prepare(cfg, profiles)
+    full = cbet_solve(cfg.replace(cbet_light_iterations=False), ctx,
+                      backend="scatter")
+    light = cbet_solve(cfg, ctx, backend="scatter")   # auto-on
+    assert light.stats["light_iterations"] and not full.stats[
+        "light_iterations"]
+    assert light.iterations == full.iterations
+    np.testing.assert_array_equal(light.edep, full.edep)
+    np.testing.assert_array_equal(light.intensity, full.intensity)
+    for key in ("rays_terminated", "rays_alive_at_end", "energy_absorbed"):
+        assert light.stats[key] == full.stats[key], key
+
+    # Pallas grouped path (gamma/uout-only kernel), f32
+    cfg_p = two_beam_cfg.replace(dtype="float32", tiles_per_block=1,
+                                 cbet_max_iters=2,
+                                 cbet_gain_mode="kernel_cell")
+    ctx_p = rt.prepare(cfg_p, profiles)
+    full_p = cbet_solve(cfg_p.replace(cbet_light_iterations=False), ctx_p,
+                        backend="pallas_interpret")
+    light_p = cbet_solve(cfg_p, ctx_p, backend="pallas_interpret")
+    assert light_p.stats["light_iterations"]
+    np.testing.assert_array_equal(light_p.edep, full_p.edep)
+    np.testing.assert_array_equal(light_p.intensity, full_p.intensity)
+
+
+def test_cbet_light_iterations_lookup_grouped(two_beam_cfg, profiles):
+    """Light iterations on the batched grouped LOOKUP path (edeposit call
+    skipped): identical to the full lookup solve."""
+    cfg = two_beam_cfg.replace(dtype="float32", tiles_per_block=1,
+                               chunk_steps=10, deposit_batch_steps=5,
+                               cbet_max_iters=2)
+    ctx = rt.prepare(cfg, profiles)
+    full = cbet_solve(cfg.replace(cbet_light_iterations=False), ctx,
+                      backend="pallas_interpret")
+    light = cbet_solve(cfg.replace(cbet_light_iterations=True), ctx,
+                       backend="pallas_interpret")
+    assert light.stats["light_iterations"]
+    np.testing.assert_array_equal(light.edep, full.edep)
+    np.testing.assert_array_equal(light.intensity, full.intensity)
+
+
+def test_cbet_light_iterations_unsupported_raises(two_beam_cfg, profiles):
+    """Explicit cbet_light_iterations=True on a path that can't skip the
+    edep deposit (per-step lookup on the scatter backend) fails loud;
+    auto (None) silently runs full iterations there."""
+    cfg = two_beam_cfg.replace(cbet_max_iters=1, cbet_light_iterations=True)
+    ctx = rt.prepare(cfg, profiles)
+    with pytest.raises(ValueError, match="edep_skip|light"):
+        cbet_solve(cfg, ctx, backend="scatter")
+    res = cbet_solve(cfg.replace(cbet_light_iterations=None), ctx,
+                     backend="scatter")
+    assert not res.stats["light_iterations"]
+
+
 def test_cbet_gain_kernel_cell_stop0_bit_exact(two_beam_cfg, profiles):
     """At stop_fraction=0 (no energy deaths) kernel_cell reduces to pure
     multiplicative separability and must be bit-exact vs the lookup."""

@@ -83,6 +83,64 @@ def test_checkpoint_rejects_wrong_config(tmp_path):
         load_checkpoint(ck, other)
 
 
+def test_run_composed_matches_run(tmp_path):
+    """run_composed (the config-4 composed loop as a library capability:
+    segmented compaction + pairwise f32 master, host-dispatched chunks)
+    reproduces the plain run's physics on a small scene."""
+    from cbet_raytracing_3d_tpu.runner import run_composed
+
+    cfg = Config(**SMALL, chunk_steps=8)
+    res_c = run_composed(cfg, cache_dir=str(tmp_path), verbose=False)
+    res_p = run(cfg, verbose=False)
+    rel = (np.linalg.norm(res_c.edep - res_p.edep)
+           / np.linalg.norm(res_p.edep))
+    assert rel < 1e-6, rel
+    for key in ("rays_launched", "rays_terminated", "rays_alive_at_end"):
+        assert res_c.stats[key] == res_p.stats[key], key
+    np.testing.assert_allclose(res_c.stats["edep_total"],
+                               res_c.stats["energy_absorbed"], rtol=1e-6)
+
+
+def test_run_composed_resume_bit_identical(tmp_path):
+    """Interrupt the composed loop mid-run (checkpoint saved), resume, and
+    get a BIT-IDENTICAL result — the pairwise accumulator levels are
+    restored level-by-level, not collapsed, so the f32 addition tree is
+    the same as an uninterrupted run's (VERDICT r3 ask #6)."""
+    from cbet_raytracing_3d_tpu.runner import run_composed
+
+    cfg = Config(**SMALL, chunk_steps=8)
+    ckpt = str(tmp_path / "composed.npz")
+    full = run_composed(cfg, cache_dir=str(tmp_path), verbose=False)
+    # interrupted: stop after 2 chunks (checkpointing every chunk so the
+    # stop lands mid-segment), then resume to completion
+    out = run_composed(cfg, cache_dir=str(tmp_path), checkpoint_path=ckpt,
+                       checkpoint_every_chunks=1, stop_after_chunks=2,
+                       verbose=False)
+    assert out is None and os.path.exists(ckpt)
+    res = run_composed(cfg, cache_dir=str(tmp_path), checkpoint_path=ckpt,
+                       resume=True, verbose=False)
+    np.testing.assert_array_equal(res.edep, full.edep)
+    assert res.stats == full.stats
+
+
+def test_run_composed_checkpoint_rejects_different_run(tmp_path):
+    """A composed checkpoint must not resume a structurally different run
+    (config fingerprint mismatch fails loud)."""
+    import pytest
+
+    from cbet_raytracing_3d_tpu.runner import run_composed
+
+    cfg = Config(**SMALL, chunk_steps=8)
+    ckpt = str(tmp_path / "composed.npz")
+    run_composed(cfg, cache_dir=str(tmp_path), checkpoint_path=ckpt,
+                 checkpoint_every_chunks=1, stop_after_chunks=1,
+                 verbose=False)
+    other = Config(**{**SMALL, "rays_per_zone": 2}, chunk_steps=8)
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_composed(other, cache_dir=str(tmp_path), checkpoint_path=ckpt,
+                     resume=True, verbose=False)
+
+
 def test_hbm_preflight():
     """Oversized configs fail fast with a clear message (unlike the
     reference, which logs cudaMalloc errors and continues — SURVEY.md §5.3)."""

@@ -74,6 +74,17 @@ def estimate_hbm_bytes(cfg: Config, with_cbet: bool = False) -> int:
     if with_cbet:
         cbet = (3 * cfg.nbeams * P * 4
                 + 3 * cfg.nbeams * grid_elems * 4)
+        if cfg.cbet_gain_mode in ("kernel", "kernel_cell"):
+            # the per-beam gain table in the grid's padded layout — the
+            # grouped VMEM input block's HBM residence (~325 MB at OMEGA,
+            # cbet.py gain_tab)
+            cbet += cfg.nbeams * grid_elems * 4
+        rows2 = cfg.cbet_gain_rows2
+        if rows2 is None:   # mirror the trace's auto rule (cbet.py)
+            rows2 = cfg.nbeams * P * 4 * 2 <= 1.5e9
+        if rows2 and cfg.cbet_gain_sliced and cfg.cbet_gain_mode == "lookup":
+            # the 2-wide value-duplicated sliced gain rows
+            cbet += cfg.nbeams * P * 4 * 2
     return state + field4 + grids + streams + cbet
 
 

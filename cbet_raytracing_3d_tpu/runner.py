@@ -245,7 +245,14 @@ def run_resumable(cfg: Config, *, checkpoint_path: str,
                   cache_dir: str | None = None) -> RunResult:
     """Single-device trace with chunk-granular checkpointing (SURVEY.md §5.4
     — an aux capability the reference lacks).  Interrupt-safe: re-invoke with
-    ``resume=True`` to continue from the last saved chunk."""
+    ``resume=True`` to continue from the last saved chunk.
+
+    CORRECTNESS-ONLY path: per-step deposits on the uncompacted host-prepared
+    state (no segmentation, no batching, single device) — it trades the
+    bench-measured fast machinery for the simplest possible checkpoint
+    invariant.  The production resumable path for long runs is
+    ``run_composed`` (segmented compaction + pairwise master + bit-identical
+    resume), which is what the config-4 scripts use."""
     import jax.numpy as jnp
 
     from .models.raytracer import make_chunk_fn, trace_shapes

@@ -258,9 +258,10 @@ def main() -> int:
         #   terminations; on-chip rel-L2 2.2e-7 = f32 chip noise with the
         #   same convergence history, artifacts/cbet_r04.json) that removes
         #   the dominant per-step gain gathers (32.5 -> 28.1 s)
-        # * light iterations (auto): intermediate iterations skip the edep
-        #   deposit they discard; one full trace reproduces it bit-equal
-        #   (test_cbet_light_iterations_identical)
+        # * light iterations are NOT used: measured SLOWER on chip at
+        #   OMEGA scale (50.5 vs 28.2 s, artifacts/cbet_r04c.json — the
+        #   gamma/uout-only kernel loses more than the skipped deposit
+        #   saves); the capability remains opt-in and tested bit-equal
         cbet_kw = dict(cbet_segmented=True, cbet_plan_headroom=0.5)
         if n_dev == 1:
             cbet_kw["cbet_gain_mode"] = "kernel_cell"

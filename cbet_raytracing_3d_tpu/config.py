@@ -167,9 +167,13 @@ class Config:
     # same gain the final iteration used produces edep — the results are
     # IDENTICAL to the non-light solve (same gain -> same trace; tested
     # bit-equal), this is pure dead-work elimination, not a model change.
-    # None = auto: ON single-device whenever the trace path supports it
-    # (kernel gain modes, or the batched grouped lookup); True errors if
-    # unsupported; False forces full iterations.
+    # OPT-IN ONLY (measured SLOWER on chip at OMEGA scale: the
+    # gamma/uout-only kernel traces at 5.5 s/iter vs the full kernel's
+    # 4.45 s — artifacts/cbet_r04c.json — so skipping the deposit LOSES;
+    # kept as a tested capability for shapes where deposits dominate).
+    # None/False = off; True requires a supporting single-device path
+    # (kernel gain modes, or the batched grouped lookup) and errors loud
+    # otherwise.
     cbet_light_iterations: bool | None = None
     # Static mid-trace tile compaction inside the CBET fixed-point traces:
     # the tile plan is measured with stop_fraction=0 — rays then live until

@@ -1390,25 +1390,22 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     # LIGHT iteration trace (Config.cbet_light_iterations): same trace
     # with the edep deposit skipped — intermediate fixed-point iterations
     # discard edep, so the final full trace (same gain) reproduces it
-    # identically.  Single-device this round; auto (None) degrades to full
-    # iterations where the path can't skip, explicit True fails loud.
+    # identically (tested bit-equal).  OPT-IN ONLY: measured SLOWER on chip
+    # at OMEGA scale (artifacts/cbet_r04c.json — light 50.5 s vs full
+    # 28.2 s; the gamma/uout-only kernel's per-iteration trace is 5.5 s vs
+    # the full kernel's 4.45 s), so auto (None) means OFF.  Single-device.
     trace_light = None
-    if n_dev > 1:
-        if cfg.cbet_light_iterations:
+    if cfg.cbet_light_iterations:
+        if n_dev > 1:
             raise ValueError(
                 "cbet_light_iterations=True is single-device only (mesh "
                 "solves run full iterations)")
-    elif cfg.cbet_light_iterations is not False:
-        try:
-            local_light = make_cbet_trace_fn(
-                cfg, ctx, backend, intensity_scatter=False,
-                tiles_per_group=tpg, segments=segments, seg_tpgs=seg_tpgs,
-                n_local_beams=n_local, gain_local=gain_sharded,
-                edep_skip=True)()
-            trace_light = _checked(jax.jit(local_light))
-        except ValueError:
-            if cfg.cbet_light_iterations:
-                raise
+        local_light = make_cbet_trace_fn(
+            cfg, ctx, backend, intensity_scatter=False,
+            tiles_per_group=tpg, segments=segments, seg_tpgs=seg_tpgs,
+            n_local_beams=n_local, gain_local=gain_sharded,
+            edep_skip=True)()
+        trace_light = _checked(jax.jit(local_light))
 
     # the per-step lookup table is always full-resolution; coarse gain
     # fields (cbet_grid_downsample > 1) are trilinearly upsampled once per

@@ -900,7 +900,8 @@ def test_cbet_light_iterations_identical(two_beam_cfg, profiles):
     ctx = rt.prepare(cfg, profiles)
     full = cbet_solve(cfg.replace(cbet_light_iterations=False), ctx,
                       backend="scatter")
-    light = cbet_solve(cfg, ctx, backend="scatter")   # auto-on
+    light = cbet_solve(cfg.replace(cbet_light_iterations=True), ctx,
+                       backend="scatter")
     assert light.stats["light_iterations"] and not full.stats[
         "light_iterations"]
     assert light.iterations == full.iterations
@@ -916,7 +917,8 @@ def test_cbet_light_iterations_identical(two_beam_cfg, profiles):
     ctx_p = rt.prepare(cfg_p, profiles)
     full_p = cbet_solve(cfg_p.replace(cbet_light_iterations=False), ctx_p,
                         backend="pallas_interpret")
-    light_p = cbet_solve(cfg_p, ctx_p, backend="pallas_interpret")
+    light_p = cbet_solve(cfg_p.replace(cbet_light_iterations=True), ctx_p,
+                         backend="pallas_interpret")
     assert light_p.stats["light_iterations"]
     np.testing.assert_array_equal(light_p.edep, full_p.edep)
     np.testing.assert_array_equal(light_p.intensity, full_p.intensity)

@@ -288,6 +288,21 @@ def main() -> int:
             "cbet_tol": cfg.cbet_tol,
             "cbet_edep_total": float(res.edep.sum()),
         })
+        # CBET-stage golden (scripts/record_cbet_golden.py) — same contract
+        # as golden_rel_l2 above, on the converged gain-coupled grid
+        _cgold = "artifacts/cbet_golden.npz"
+        if _os.path.exists(_cgold) and jax.default_backend() != "cpu":
+            try:
+                cg = np.load(_cgold)["edep"].astype(np.float64)
+                ce = np.asarray(res.edep, np.float64)
+                if ce.shape == cg.shape:
+                    crel = float(np.linalg.norm(ce - cg)
+                                 / np.linalg.norm(cg))
+                    out["cbet_golden_rel_l2"] = crel
+                    if crel > 1e-4:
+                        out["cbet_golden_drift"] = True
+            except Exception as e:
+                out["cbet_golden_error"] = repr(e)[:120]
         # NOTE: rounds 2-3 also reported an approximate "fast" mode
         # (cbet_gain_stride=5, ~12% model deviation).  It is no longer
         # reported: the exact solve's per-beam-sliced gain gathers +

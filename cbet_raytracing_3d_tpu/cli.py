@@ -91,6 +91,21 @@ def main(argv=None) -> int:
     p_run.add_argument("--cache-dir", default=".cbet_cache",
                        help="prepare-products / tile-plan cache directory "
                             "('' disables)")
+    p_run.add_argument("--composed", action="store_true",
+                       help="large-scale composed trace (runner.run_composed:"
+                            " on-device init + host-dispatched segmented "
+                            "compaction + pairwise f64-equivalent master) — "
+                            "the BASELINE config-4 path; trace only (no "
+                            "--cbet)")
+    p_run.add_argument("--checkpoint", default=None, metavar="PATH",
+                       help="composed-run checkpoint file (segment-boundary "
+                            "+ periodic saves; implies --composed)")
+    p_run.add_argument("--resume", action="store_true",
+                       help="resume a composed run from --checkpoint "
+                            "(bit-identical master)")
+    p_run.add_argument("--min-tiles", type=int, default=0,
+                       help="composed: never split a segment below this "
+                            "many tiles (caps per-segment recompiles)")
 
     p_dump = sub.add_parser("dump", help="-D PRINT compatible dump to stdout")
     _add_config_flags(p_dump)
@@ -113,9 +128,25 @@ def main(argv=None) -> int:
     enable_persistent_cache()
 
     if args.cmd == "run":
-        res = run(cfg, with_cbet=args.cbet, verbose=not args.quiet,
-                  profile_dir=args.profile_dir,
-                  cache_dir=args.cache_dir or None)
+        composed = args.composed or args.checkpoint or args.resume
+        if composed:
+            if args.cbet:
+                print("--composed is the trace-only large-scale path; run "
+                      "the CBET stage separately (cbet_solve / `run "
+                      "--cbet`)", file=sys.stderr)
+                return 2
+            if args.resume and not args.checkpoint:
+                print("--resume requires --checkpoint PATH", file=sys.stderr)
+                return 2
+            from .runner import run_composed
+            res = run_composed(cfg, min_tiles=args.min_tiles,
+                               cache_dir=args.cache_dir or None,
+                               checkpoint_path=args.checkpoint,
+                               resume=args.resume, verbose=not args.quiet)
+        else:
+            res = run(cfg, with_cbet=args.cbet, verbose=not args.quiet,
+                      profile_dir=args.profile_dir,
+                      cache_dir=args.cache_dir or None)
         paths = write_outputs(res, args.out_dir,
                               tuple(args.formats.split(",")))
         if not args.quiet:

@@ -42,6 +42,36 @@ def test_cli_run(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "edep.npz"))
 
 
+def test_cli_run_composed(tmp_path):
+    """`run --composed --checkpoint` routes through runner.run_composed and
+    writes the same outputs as the plain path; --cbet with --composed and
+    --resume without --checkpoint fail loud."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    base = [sys.executable, "-m", "cbet_raytracing_3d_tpu.cli", "run",
+            "--nbeams", "1", "--rays-per-zone", "1", "--nx", "24",
+            "--ny", "24", "--nz", "24", "--formats", "npz,json", "--quiet"]
+    out = subprocess.run(
+        base + ["--composed", "--checkpoint", str(tmp_path / "c.npz"),
+                "--out-dir", str(tmp_path), "--cache-dir",
+                str(tmp_path / "cache")],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(os.path.join(tmp_path, "edep.npz"))
+    # (a single-segment tiny run legitimately writes no boundary
+    # checkpoint; run_composed's resume semantics are covered by
+    # test_run_composed_resume_bit_identical)
+
+    bad = subprocess.run(base + ["--composed", "--cbet"],
+                         capture_output=True, text=True, timeout=120,
+                         env=env, cwd="/root/repo")
+    assert bad.returncode == 2 and "trace-only" in bad.stderr
+    bad = subprocess.run(base + ["--resume"],
+                         capture_output=True, text=True, timeout=120,
+                         env=env, cwd="/root/repo")
+    assert bad.returncode == 2 and "--checkpoint" in bad.stderr
+
+
 def test_checkpoint_resume(tmp_path):
     """run_resumable from scratch == fresh run; resuming mid-trace from a
     checkpoint reproduces the same final deposition."""

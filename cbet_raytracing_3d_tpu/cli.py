@@ -92,20 +92,32 @@ def main(argv=None) -> int:
                        help="prepare-products / tile-plan cache directory "
                             "('' disables)")
     p_run.add_argument("--composed", action="store_true",
-                       help="large-scale composed trace (runner.run_composed:"
-                            " on-device init + host-dispatched segmented "
+                       help="large-scale composed run (runner.run_composed: "
+                            "on-device init + host-dispatched segmented "
                             "compaction + pairwise f64-equivalent master) — "
-                            "the BASELINE config-4 path; trace only (no "
-                            "--cbet)")
+                            "the BASELINE config-4 path; with --cbet the "
+                            "CBET stage runs as the resumable composed "
+                            "solve (models.cbet_composed)")
     p_run.add_argument("--checkpoint", default=None, metavar="PATH",
                        help="composed-run checkpoint file (segment-boundary "
                             "+ periodic saves; implies --composed)")
     p_run.add_argument("--resume", action="store_true",
-                       help="resume a composed run from --checkpoint "
-                            "(bit-identical master)")
+                       help="resume a composed run from --checkpoint / "
+                            "--cbet-checkpoint (bit-identical)")
     p_run.add_argument("--min-tiles", type=int, default=0,
                        help="composed: never split a segment below this "
                             "many tiles (caps per-segment recompiles)")
+    p_run.add_argument("--cbet-checkpoint", default=None, metavar="PATH",
+                       help="composed CBET: iteration-boundary checkpoint "
+                            "file (the fixed-point intensity; resume with "
+                            "--resume)")
+    p_run.add_argument("--beam-groups", type=int, default=None,
+                       help="composed CBET: trace the beams in this many "
+                            "serial groups (HBM control; default sizes the "
+                            "full-res gain-row block under ~1 GiB)")
+    p_run.add_argument("--cbet-only", action="store_true",
+                       help="composed --cbet: skip the plain (uncoupled) "
+                            "composed trace and run only the CBET stage")
 
     p_dump = sub.add_parser("dump", help="-D PRINT compatible dump to stdout")
     _add_config_flags(p_dump)
@@ -128,21 +140,56 @@ def main(argv=None) -> int:
     enable_persistent_cache()
 
     if args.cmd == "run":
-        composed = args.composed or args.checkpoint or args.resume
+        if args.cbet_only and not args.cbet:
+            print("--cbet-only requires --cbet", file=sys.stderr)
+            return 2
+        composed = (args.composed or args.checkpoint or args.resume
+                    or args.cbet_checkpoint or args.cbet_only)
         if composed:
-            if args.cbet:
-                print("--composed is the trace-only large-scale path; run "
-                      "the CBET stage separately (cbet_solve / `run "
-                      "--cbet`)", file=sys.stderr)
-                return 2
-            if args.resume and not args.checkpoint:
-                print("--resume requires --checkpoint PATH", file=sys.stderr)
+            if args.resume and not (args.checkpoint
+                                    or args.cbet_checkpoint):
+                print("--resume requires --checkpoint PATH (trace) and/or "
+                      "--cbet-checkpoint PATH (CBET stage)",
+                      file=sys.stderr)
                 return 2
             from .runner import run_composed
-            res = run_composed(cfg, min_tiles=args.min_tiles,
-                               cache_dir=args.cache_dir or None,
-                               checkpoint_path=args.checkpoint,
-                               resume=args.resume, verbose=not args.quiet)
+            res = None
+            if not (args.cbet and args.cbet_only):
+                res = run_composed(
+                    cfg, min_tiles=args.min_tiles,
+                    cache_dir=args.cache_dir or None,
+                    checkpoint_path=args.checkpoint,
+                    resume=bool(args.resume and args.checkpoint),
+                    verbose=not args.quiet)
+            if args.cbet:
+                # the resumable composed CBET stage (models.cbet_composed):
+                # iteration-boundary intensity checkpoints survive tunnel
+                # outages at BASELINE config-4 scale
+                import jax as _jax
+
+                from .models import raytracer as _rt
+                from .models.cbet_composed import cbet_solve_composed
+                from .runner import RunResult
+                ctx = (_rt.prepare_device(cfg)
+                       if _jax.default_backend() != "cpu"
+                       else _rt.prepare(cfg,
+                                        cache_dir=args.cache_dir or None))
+                cres = cbet_solve_composed(
+                    cfg, ctx, beam_groups=args.beam_groups,
+                    cache_dir=args.cache_dir or None,
+                    checkpoint_path=args.cbet_checkpoint,
+                    resume=bool(args.resume and args.cbet_checkpoint),
+                    verbose=not args.quiet)
+                if res is None:
+                    # --cbet-only: the coupled grid doubles as the primary
+                    # output (no uncoupled composed trace was run)
+                    res = RunResult(cfg=cfg, edep=cres.edep,
+                                    stats=dict(cres.stats), timings={},
+                                    cbet=cres)
+                else:
+                    res = RunResult(cfg=res.cfg, edep=res.edep,
+                                    stats=res.stats, timings=res.timings,
+                                    cbet=cres)
         else:
             res = run(cfg, with_cbet=args.cbet, verbose=not args.quiet,
                       profile_dir=args.profile_dir,

@@ -44,8 +44,9 @@ def test_cli_run(tmp_path):
 
 def test_cli_run_composed(tmp_path):
     """`run --composed --checkpoint` routes through runner.run_composed and
-    writes the same outputs as the plain path; --cbet with --composed and
-    --resume without --checkpoint fail loud."""
+    writes the same outputs as the plain path; `--composed --cbet` runs the
+    resumable composed CBET stage (models.cbet_composed); malformed flag
+    combinations fail loud."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
     base = [sys.executable, "-m", "cbet_raytracing_3d_tpu.cli", "run",
             "--nbeams", "1", "--rays-per-zone", "1", "--nx", "24",
@@ -62,10 +63,23 @@ def test_cli_run_composed(tmp_path):
     # checkpoint; run_composed's resume semantics are covered by
     # test_run_composed_resume_bit_identical)
 
-    bad = subprocess.run(base + ["--composed", "--cbet"],
+    # --composed --cbet: the round-5 resumable composed CBET stage
+    # (--cbet-only skips the already-verified uncoupled composed trace)
+    cb = subprocess.run(
+        base + ["--composed", "--cbet", "--cbet-only", "--cbet-checkpoint",
+                str(tmp_path / "cb.npz"), "--out-dir",
+                str(tmp_path / "cbet_out"), "--cache-dir",
+                str(tmp_path / "cache")],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd="/root/repo")
+    assert cb.returncode == 0, cb.stderr[-2000:]
+    assert os.path.exists(os.path.join(tmp_path, "cbet_out", "edep.npz"))
+    assert os.path.exists(tmp_path / "cb.npz")   # iteration checkpoint
+
+    bad = subprocess.run(base + ["--cbet-only"],
                          capture_output=True, text=True, timeout=120,
                          env=env, cwd="/root/repo")
-    assert bad.returncode == 2 and "trace-only" in bad.stderr
+    assert bad.returncode == 2 and "--cbet-only requires --cbet" in bad.stderr
     bad = subprocess.run(base + ["--resume"],
                          capture_output=True, text=True, timeout=120,
                          env=env, cwd="/root/repo")

@@ -86,6 +86,7 @@ def test_cbet_two_beam_fixed_point(two_beam_cfg, two_beam_ctx):
     assert ((i0 > 0) & (i1 > 0)).sum() > 0, "beams never overlap"
 
 
+@pytest.mark.slow
 def test_cbet_solver_cache_reuse(two_beam_cfg, two_beam_ctx, profiles):
     """The cross-call solver cache (cbet._get_solver): a 1-iteration warm-up
     and the subsequent full solve must share ONE built solver (keyed on
@@ -138,6 +139,7 @@ def test_cbet_actually_transfers_energy(two_beam_cfg, two_beam_ctx):
     assert res.edep.sum() < 10 * edep0.sum()
 
 
+@pytest.mark.slow
 def test_cbet_pallas_intensity_matches_scatter(two_beam_cfg, two_beam_ctx, profiles):
     """The grouped Pallas intensity deposit must agree with the offset-scatter
     path through one full gain-aware trace."""
@@ -166,6 +168,7 @@ def test_cbet_pallas_intensity_matches_scatter(two_beam_cfg, two_beam_ctx, profi
     np.testing.assert_allclose(i_p.sum(), i_s.sum(), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_cbet_sharded_matches_single_device(two_beam_cfg, profiles):
     """Multi-device cbet_solve (shard_map + psum'd intensity/deposition)
     must reproduce the single-device fixed point."""
@@ -255,6 +258,7 @@ def test_cbet_downsampled_grid_normalization(two_beam_cfg, two_beam_ctx,
     assert 0.5 < pk < 1.5, pk
 
 
+@pytest.mark.slow
 def test_cbet_downsampled_grid_converges_near_full_res(two_beam_cfg,
                                                        two_beam_ctx,
                                                        profiles):
@@ -278,6 +282,7 @@ def test_cbet_downsampled_grid_converges_near_full_res(two_beam_cfg,
     assert rel < 0.6 * effect, (rel, effect)
 
 
+@pytest.mark.slow
 def test_cbet_mesh_beam_sharded_grouped_intensity(two_beam_cfg, profiles):
     """A mesh CBET solve with the Pallas base deposit where the device count
     divides nbeams: every shard owns whole beams, so the solver keeps the
@@ -305,6 +310,7 @@ def test_cbet_mesh_beam_sharded_grouped_intensity(two_beam_cfg, profiles):
     assert rel_e < 2e-3, rel_e
 
 
+@pytest.mark.slow
 def test_cbet_mesh_beam_sharded_multiple_groups_per_shard(profiles):
     """Beam-sharded intensity with n_local_beams > 1 (4 beams on 2 devices):
     the per-shard grouped kernel carries two group grids and the sharded
@@ -329,6 +335,7 @@ def test_cbet_mesh_beam_sharded_multiple_groups_per_shard(profiles):
     assert rel_e < 2e-3, rel_e
 
 
+@pytest.mark.slow
 def test_cbet_mesh_phantom_beam_padding(profiles):
     """Device counts that do NOT divide nbeams within the pad budget get
     phantom (all-dead) beam blocks instead of the scatter fallback: 7 beams
@@ -356,6 +363,7 @@ def test_cbet_mesh_phantom_beam_padding(profiles):
     assert rel_e < 2e-3, rel_e
 
 
+@pytest.mark.slow
 def test_cbet_mesh_gain_sharded_matches_replicated(profiles):
     """Config.cbet_gain_sharded (beam-sharded gain table): each shard
     computes only its own beams' gain rows from the all-gathered intensity
@@ -386,6 +394,7 @@ def test_cbet_mesh_gain_sharded_matches_replicated(profiles):
     assert solver_auto.gain_sharded
 
 
+@pytest.mark.slow
 def test_cbet_mesh_gain_sharded_phantom_segmented(profiles):
     """Beam-sharded gain composed with phantom padding AND segmented
     traces: 5 beams on 2 devices pad to 6 (20%), the gain table shards
@@ -431,6 +440,7 @@ def test_cbet_gain_sharded_requires_beam_sharded_layout(profiles):
         cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
 
 
+@pytest.mark.slow
 def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
     """A mesh CBET solve where beams straddle shards beyond the phantom-pad
     budget (2 beams on 4 devices would need 100% dead-row padding): the
@@ -458,6 +468,7 @@ def test_cbet_mesh_pallas_crosses_grouped_boundary(two_beam_cfg, profiles):
     assert rel_e < 2e-3, rel_e
 
 
+@pytest.mark.slow
 def test_cbet_sharded_downsampled(two_beam_cfg, profiles):
     """Coarse CBET grid (cbet_grid_downsample=2) through a multi-device
     solve: the beam-offset scatter intensity path must deposit on the
@@ -478,6 +489,7 @@ def test_cbet_sharded_downsampled(two_beam_cfg, profiles):
                                atol=1e-10 * max(res1.intensity.max(), 1))
 
 
+@pytest.mark.slow
 def test_cbet_solve_on_device_init_context(two_beam_cfg, profiles):
     """cbet_solve on a prepare_device (compact) context must reproduce the
     host-prepare fixed point: the device-born state is already in the
@@ -495,6 +507,7 @@ def test_cbet_solve_on_device_init_context(two_beam_cfg, profiles):
         atol=1e-8 * max(res_h.intensity.max(), 1.0))
 
 
+@pytest.mark.slow
 def test_cbet_gain_stride_window(two_beam_cfg, profiles):
     """cbet_gain_stride > 1: one gain lookup per deposit window instead of
     per step.  The converged coupled deposition must stay close to the
@@ -517,6 +530,7 @@ def test_cbet_gain_stride_window(two_beam_cfg, profiles):
     assert rel < 0.6 * effect, (rel, effect)
 
 
+@pytest.mark.slow
 def test_cbet_window_kernel_model_matches_oracle(profiles):
     """VALUE-level validation of cbet_gain_mode="kernel" (the tile-window
     gain contraction model): the XLA form on the scatter backend matches an
@@ -578,6 +592,7 @@ def test_cbet_window_kernel_model_matches_oracle(profiles):
     assert rel_i < 1e-5, rel_i
 
 
+@pytest.mark.slow
 def test_cbet_window_kernel_solve_converges(two_beam_cfg, profiles):
     """Full fixed-point solve under cbet_gain_mode='kernel' (scatter/XLA
     form): converges and lands near the lookup-mode solution (the two are
@@ -602,6 +617,7 @@ def test_cbet_window_kernel_solve_converges(two_beam_cfg, profiles):
     assert dev < effect, (dev, effect)
 
 
+@pytest.mark.slow
 def test_cbet_segmented_matches_plain(two_beam_cfg, profiles):
     """cbet_segmented=True (static mid-trace tile compaction on the
     gain-proof stop_fraction=0 plan): bit-identical solve results and
@@ -632,6 +648,7 @@ def test_cbet_segmented_matches_plain(two_beam_cfg, profiles):
     np.testing.assert_allclose(seg.edep, plain.edep, rtol=1e-12, atol=0)
 
 
+@pytest.mark.slow
 def test_cbet_high_res_hbm_grouped_intensity(profiles):
     """High-resolution CBET (edep grid beyond VMEM -> pallas_hbm backend):
     with a coarsened CBET grid that fits VMEM, the grouped per-beam
@@ -706,6 +723,7 @@ def test_solver_cache_mesh_content_key(two_beam_cfg, profiles):
     assert _get_solver(cfg, ctx, mesh_c, "scatter", None) is not s1
 
 
+@pytest.mark.slow
 def test_cbet_plan_headroom(two_beam_cfg, profiles, capsys):
     """cbet_plan_headroom > 0 plans the segmented CBET trace with a scaled
     stop rule instead of the gain-proof stop_fraction=0 superset.  At a
@@ -756,6 +774,7 @@ def test_cbet_retry_only_on_dropped_alive(two_beam_cfg, monkeypatch):
     assert calls == [1]     # no retry happened
 
 
+@pytest.mark.slow
 def test_cbet_mesh_segmented_matches_unsegmented(profiles, capsys):
     """Beam-sharded segmented CBET on a mesh (4 beams / 2 devices, multiple
     whole beams per shard): per-iteration traces run statically compacted
@@ -791,6 +810,7 @@ def test_cbet_mesh_segmented_matches_unsegmented(profiles, capsys):
     assert rel < 2e-6, rel
 
 
+@pytest.mark.slow
 def test_cbet_mesh_segmented_phantom_beams(profiles, capsys):
     """Segmented mesh CBET with PHANTOM beam padding (5 beams on 2 devices
     pad to 6, 20% — inside the 25% imbalance budget): phantom beams segment
@@ -818,6 +838,7 @@ def test_cbet_mesh_segmented_phantom_beams(profiles, capsys):
                                rtol=1e-12, atol=0)
 
 
+@pytest.mark.slow
 def test_cbet_mesh_scatter_layout_segmented_falls_back(two_beam_cfg,
                                                        profiles, capsys):
     """cbet_segmented on a beam-straddling (scatter-layout) mesh cannot
@@ -840,6 +861,7 @@ def test_cbet_mesh_scatter_layout_segmented_falls_back(two_beam_cfg,
     assert res.intensity.shape == (2, 40, 40, 40)
 
 
+@pytest.mark.slow
 def test_cbet_gain_kernel_cell_exact(two_beam_cfg, profiles):
     """cbet_gain_mode='kernel_cell' (window contraction with the lookup
     mode's exact single-node entry-cell sampling AND the exact in-kernel
@@ -868,6 +890,7 @@ def test_cbet_gain_kernel_cell_exact(two_beam_cfg, profiles):
                                exact.stats["energy_absorbed"], rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_cbet_gain_kernel_cell_exact_batch10(two_beam_cfg, profiles):
     """kernel_cell is exact for ANY window size (the one-hot entry-cell
     sampling and the in-kernel termination rule are per-step): the
@@ -888,6 +911,7 @@ def test_cbet_gain_kernel_cell_exact_batch10(two_beam_cfg, profiles):
         assert cell.stats[key] == exact.stats[key], key
 
 
+@pytest.mark.slow
 def test_cbet_light_iterations_identical(two_beam_cfg, profiles):
     """Config.cbet_light_iterations: intermediate iterations skip the edep
     deposit they discard and one full trace with the final gain reproduces
@@ -924,6 +948,7 @@ def test_cbet_light_iterations_identical(two_beam_cfg, profiles):
     np.testing.assert_array_equal(light_p.intensity, full_p.intensity)
 
 
+@pytest.mark.slow
 def test_cbet_light_iterations_lookup_grouped(two_beam_cfg, profiles):
     """Light iterations on the batched grouped LOOKUP path (edeposit call
     skipped): identical to the full lookup solve."""
@@ -940,6 +965,7 @@ def test_cbet_light_iterations_lookup_grouped(two_beam_cfg, profiles):
     np.testing.assert_array_equal(light.intensity, full.intensity)
 
 
+@pytest.mark.slow
 def test_cbet_light_iterations_unsupported_raises(two_beam_cfg, profiles):
     """Explicit cbet_light_iterations=True on a path that can't skip the
     edep deposit (per-step lookup on the scatter backend) fails loud;
@@ -953,6 +979,7 @@ def test_cbet_light_iterations_unsupported_raises(two_beam_cfg, profiles):
     assert not res.stats["light_iterations"]
 
 
+@pytest.mark.slow
 def test_cbet_gain_kernel_cell_stop0_bit_exact(two_beam_cfg, profiles):
     """At stop_fraction=0 (no energy deaths) kernel_cell reduces to pure
     multiplicative separability and must be bit-exact vs the lookup."""
@@ -968,6 +995,7 @@ def test_cbet_gain_kernel_cell_stop0_bit_exact(two_beam_cfg, profiles):
     assert rel < 1e-14, rel
 
 
+@pytest.mark.slow
 def test_cbet_gain_kernel_cell_pallas_matches_xla(two_beam_cfg, profiles):
     """The Pallas one-hot kernel_cell form (interpret, precise) matches the
     XLA window form — entry-cell one-hot contraction, in-kernel exact
@@ -1017,6 +1045,7 @@ def test_cbet_gain_kernel_cell_pallas_matches_xla(two_beam_cfg, profiles):
     assert (np.asarray(st_k.alive) == np.asarray(st_x.alive)).all()
 
 
+@pytest.mark.slow
 def test_cbet_seed_zero_gain_bit_identical(two_beam_cfg, two_beam_ctx):
     """Iteration-0 reuse (Config.cbet_seed_zero_gain): a seeded solve (warm
     solver memo) is BIT-identical to an unseeded one — the memo IS the array
@@ -1045,6 +1074,7 @@ def test_cbet_seed_zero_gain_bit_identical(two_beam_cfg, two_beam_ctx):
     assert res2.stats["iter0_seconds"] >= 0.0
 
 
+@pytest.mark.slow
 def test_cbet_mesh_kernel_cell_matches_single_device(profiles):
     """kernel_cell (the measured-fastest exact CBET gain path) lifted onto
     beam-sharded meshes (VERDICT r04 #3): on the whole-beams-per-shard
@@ -1082,6 +1112,7 @@ def test_cbet_mesh_kernel_cell_matches_single_device(profiles):
         assert res2.stats[key] == res1.stats[key], key
 
 
+@pytest.mark.slow
 def test_cbet_mesh_kernel_cell_segmented_phantom(profiles):
     """kernel_cell on a mesh composed with SEGMENTED traces and phantom
     beam padding (the production config-5 shape: 60 beams never divide the

@@ -16,6 +16,8 @@ from cbet_raytracing_3d_tpu.models import raytracer as rt
 from cbet_raytracing_3d_tpu.models.cbet import cbet_solve
 from cbet_raytracing_3d_tpu.models.cbet_composed import cbet_solve_composed
 
+pytestmark = pytest.mark.slow  # full lane only: every test here is a mesh/solve run
+
 
 @pytest.fixture(scope="module")
 def comp_cfg():

@@ -14,6 +14,10 @@ past its hard-coded 2 (/root/reference/main.cu:133-210, def.cuh:116).
 import os
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full lane only: 16-device subprocess dry run
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

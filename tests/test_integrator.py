@@ -93,6 +93,7 @@ def test_f32_meets_accuracy_bar(ctx64, state0_subset, trace64, oracle_result):
     assert rel_sig < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_interpret_full_beam_subset(ctx64, state0_subset, oracle_result):
     """The Pallas tile-deposit path (interpret mode on CPU) must reproduce the
     oracle through the full integrator."""
@@ -169,6 +170,7 @@ def test_rays_terminate(result64, state0_subset):
     assert alive_frac < 0.5
 
 
+@pytest.mark.slow
 def test_high_res_fallback_smoke(profiles):
     """BASELINE config 4 shape (2x grid): nz+2 > 128 exceeds the Pallas
     kernel's lane budget, so the backend resolver must fall back to scatter

@@ -3,6 +3,7 @@
 import json
 import os
 import subprocess
+import pytest
 import sys
 
 import numpy as np
@@ -29,6 +30,7 @@ def test_run_end_to_end(tmp_path):
     assert meta["stats"]["rays_launched"] == res.stats["rays_launched"]
 
 
+@pytest.mark.slow
 def test_cli_run(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH="/root/repo")
@@ -42,6 +44,7 @@ def test_cli_run(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "edep.npz"))
 
 
+@pytest.mark.slow
 def test_cli_run_composed(tmp_path):
     """`run --composed --checkpoint` routes through runner.run_composed and
     writes the same outputs as the plain path; `--composed --cbet` runs the
@@ -86,6 +89,7 @@ def test_cli_run_composed(tmp_path):
     assert bad.returncode == 2 and "--checkpoint" in bad.stderr
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     """run_resumable from scratch == fresh run; resuming mid-trace from a
     checkpoint reproduces the same final deposition."""
@@ -122,11 +126,11 @@ def test_checkpoint_rejects_wrong_config(tmp_path):
     ck = str(tmp_path / "t.npz")
     run_resumable(cfg, checkpoint_path=ck, verbose=False)
     other = cfg.replace(intensity=2e14)
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="fingerprint"):
+    with pytest.raises(ValueError, match="fingerprint"):
         load_checkpoint(ck, other)
 
 
+@pytest.mark.slow
 def test_run_composed_matches_run(tmp_path):
     """run_composed (the config-4 composed loop as a library capability:
     segmented compaction + pairwise f32 master, host-dispatched chunks)
@@ -167,6 +171,7 @@ def test_run_composed_resume_bit_identical(tmp_path):
     assert res.stats == full.stats
 
 
+@pytest.mark.slow
 def test_run_composed_resume_bit_identical_three_levels(tmp_path):
     """Resume at a point where 3+ pairwise-accumulator LEVELS survive to the
     final fold (ADVICE r04): chunk_steps=19 -> 7 chunks (binary 111 = three
@@ -225,6 +230,7 @@ def test_hbm_preflight():
             check_hbm(big, with_cbet=True)
 
 
+@pytest.mark.slow
 def test_run_with_cbet(tmp_path):
     """runner.run(with_cbet=True): the full pipeline including the CBET phase
     and its timings."""
@@ -237,6 +243,7 @@ def test_run_with_cbet(tmp_path):
     assert np.isfinite(res.cbet.edep).all()
 
 
+@pytest.mark.slow
 def test_cli_dump(tmp_path):
     """`cli dump` emits the reference -D PRINT format (nested brackets over
     the full ghost-padded grid) on stdout."""
@@ -332,6 +339,7 @@ def test_prepare_cache_roundtrip(tmp_path):
     assert other.field4.shape != loaded.field4.shape
 
 
+@pytest.mark.slow
 def test_run_segmented_matches_plain(tmp_path):
     """run() with a cache_dir takes the compacted (segmented) trace path
     with final-state write-back — deposition AND the full termination/
@@ -349,6 +357,7 @@ def test_run_segmented_matches_plain(tmp_path):
     np.testing.assert_allclose(seg2.edep, plain.edep, rtol=1e-12, atol=0)
 
 
+@pytest.mark.slow
 def test_run_segmented_accounting_with_coasting_rays(tmp_path):
     """Scene with rays that coast through zero-absorption cells (the
     non-monotone-liveness case): the compacted path must still report the
@@ -366,6 +375,7 @@ def test_run_segmented_accounting_with_coasting_rays(tmp_path):
                                plain.stats["energy_absorbed"], rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_run_multidevice_segmented_matches_plain(tmp_path):
     """run() on a multi-device mesh with a cache_dir takes the per-device-
     balanced segmented trace (the SAME fast path bench.py measures) with
@@ -416,6 +426,7 @@ def test_write_outputs_with_cbet(tmp_path):
     assert open(side).read() == dump_print_format(np.asarray(res.cbet.edep))
 
 
+@pytest.mark.slow
 def test_run_cbet_cached_takes_segmented_fast_path(tmp_path):
     """run(with_cbet=True, cache_dir=...) single-device routes the CBET
     solve through the segmented (compacted) iteration traces — the same
@@ -459,6 +470,7 @@ def test_cli_rejects_bad_flag_values():
             p.parse_args(bad)
 
 
+@pytest.mark.slow
 def test_run_cbet_cached_mesh_segmented(tmp_path):
     """run(with_cbet=True, cache_dir=...) on a beam-sharded mesh routes the
     CBET solve through the per-shard segmented iteration traces (the same

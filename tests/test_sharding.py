@@ -61,6 +61,7 @@ def test_pad_rays_are_inert(small_ctx):
                                rtol=1e-12, atol=0)
 
 
+@pytest.mark.slow
 def test_uneven_beam_count_devices(small_ctx):
     """60 beams don't divide 8 devices — ray-axis sharding stays balanced
     (the reference hard-codes nGPUs=2 with beams%nGPUs==0, def.cuh:116)."""
@@ -74,6 +75,7 @@ def test_uneven_beam_count_devices(small_ctx):
         assert np.isfinite(np.asarray(edep)).all()
 
 
+@pytest.mark.slow
 def test_sharded_pallas_matches_single_device(profiles):
     """The Pallas deposit backend through shard_map: shards cut at tile
     boundaries (sharding.py contract), each device runs the kernel on whole
@@ -100,6 +102,7 @@ def test_sharded_pallas_matches_single_device(profiles):
                                rtol=1e-6, atol=1e-6 * float(np.asarray(edep1).max()))
 
 
+@pytest.mark.slow
 def test_sharded_segmented_matches_single_device(profiles):
     """Per-device-balanced segmented trace (tileplan.build_device_segments +
     sharding.make_sharded_segmented_trace_fn): the multi-device form of
@@ -149,6 +152,7 @@ def test_device_segments_balanced(profiles):
         assert counts.max() - counts.min() <= 1, counts
 
 
+@pytest.mark.slow
 def test_sharded_segmented_pallas_backend(profiles):
     """Sharded segmented trace through the Pallas (interpret) deposit
     kernel: per-device compaction must keep shards tile-aligned for the

@@ -3,6 +3,7 @@ the compacted trace must reproduce the plain trace exactly — compaction is
 a pure work-skipping transformation (models/tileplan.py)."""
 
 import jax
+import pytest
 import numpy as np
 
 from cbet_raytracing_3d_tpu.config import Config
@@ -32,6 +33,7 @@ def test_plan_is_monotone_and_tiles_die(profiles):
     assert live[-1].sum() < live[0].sum()
 
 
+@pytest.mark.slow
 def test_segmented_trace_matches_plain(profiles):
     cfg, ctx, rpt, state0 = _setup(profiles)
     plan = tp.measure_plan(cfg, ctx, state0)
@@ -120,6 +122,7 @@ def test_build_segments_min_tiles_floor(profiles):
     assert got == want == cfg.nt
 
 
+@pytest.mark.slow
 def test_host_orchestrated_chunk_loop_matches_segmented_trace(profiles):
     """The config-4 composition (scripts/run_config4_fast.py): host-
     dispatched make_chunk_delta_fn chunks + segment_gather_rows transitions

@@ -123,6 +123,7 @@ def test_rejects_mismatched_cfg(ctx64):
         track_rays(other, [0], [0], ctx=ctx64)
 
 
+@pytest.mark.slow
 def test_cli_track(tmp_path):
     import json
     import os
@@ -144,6 +145,7 @@ def test_cli_track(tmp_path):
     assert (back.steps == np.array(summary["steps"])).all()
 
 
+@pytest.mark.slow
 def test_cli_track_rejects_bad_pairs():
     import os
     import subprocess

@@ -49,6 +49,11 @@ Output fields (the last JSON line is the complete record):
   compile_seconds — first trace call minus the steady trace (XLA+Mosaic
       compile or persistent-cache load).
   backend_init_seconds — tunnel/backend bring-up (no reference analog).
+  backend_devices_seconds — the jax.devices() fraction of bring-up (PJRT
+      client creation / remote worker attach), reported to attribute the
+      large unexplained run-to-run variance of backend_init_seconds
+      (88-210 s in round-4 captures): the remainder is the first dispatch
+      round-trip, so a reader can tell worker spin-up from tunnel stall.
   cbet_warmup_seconds — solver build + 1-iteration solve: absorbs the
       Mosaic/XLA compiles AND the zero-gain iteration-0 trace that the
       seed memo (Config.cbet_seed_zero_gain) lets the measured solve skip.
@@ -111,6 +116,7 @@ BASELINE_RANGE = (1.2e8, 5.0e8)
 def main() -> int:
     t_backend0 = time.perf_counter()
     n_dev_avail = len(jax.devices())
+    t_backend_devices = time.perf_counter() - t_backend0
     jax.device_get(jax.numpy.zeros(8))       # force backend + tunnel up
     t_backend = time.perf_counter() - t_backend0
 
@@ -260,6 +266,7 @@ def main() -> int:
         **({"init_steady_seconds": round(t_init_steady, 3)}
            if t_init_steady is not None else {}),
         "backend_init_seconds": round(t_backend, 3),
+        "backend_devices_seconds": round(t_backend_devices, 3),
         "tile_plan_seconds": round(t_plan, 1),
         "compile_seconds": round(t_first - t_trace, 1),
         "devices": n_dev,

@@ -82,6 +82,26 @@ class Config:
     # damping margin for stronger-coupling scenes; oscillation shows up
     # as non-monotone res.history / converged=False, never silently.
     cbet_relax: float = 0.9
+    # Fixed-point acceleration of the intensity update.  "anderson" is
+    # Anderson mixing with depth 1 (a field-level secant step on the
+    # residual f_k = G(x_k) - x_k, mixing parameter = cbet_relax): the
+    # first update is exactly the plain relaxed step, later updates
+    # subtract gamma*(dx_k + relax*df_k) with gamma the least-squares
+    # coefficient <f_k, df_k>/<df_k, df_k>, safeguarded (gamma -> 0 on a
+    # degenerate secant, clipped to [-2, 2]).  Same map, same fixed
+    # point — the converged field is within the cbet_tol truncation of
+    # the plain iteration's (test_cbet_accel_anderson_fixed_point); the
+    # earlier SCALAR-rho extrapolation measured slower (models/cbet.py
+    # solve-loop note) — this is the field-level least-squares form.
+    # Costs 2 extra intensity-field buffers of HBM.  MEASURED on chip
+    # (artifacts/cbet_accel_r05.json): at the production tol 5e-3 the
+    # 60-beam solve converges in the SAME 5 iterations (the pre-
+    # asymptotic iterations dominate and the m=1 secant buys nothing);
+    # the win appears only in the asymptotic regime — 4 vs 5 iterations
+    # at tol 1e-5 on the two-beam problem.  Stays opt-in for
+    # tight-tolerance studies; the committed CBET regression golden is
+    # recorded on the plain path.
+    cbet_accel: Literal["none", "anderson"] = "none"
     machnum: float = k.MACH           # flow Mach number (def.cuh:99; machnum undefined there)
     ncrossings_mult: int = 3          # ncrossings = mult*nx (def.cuh:96)
     # CBET gain-lookup stride: 1 samples the gain field at every step's

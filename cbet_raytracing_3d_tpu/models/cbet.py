@@ -1144,6 +1144,10 @@ class _CbetSolver:
     # a pure function of (solver, state0) — the same device array iteration 0
     # recomputes on every solve.  Populated on first compute, reused after.
     seed_intensity: Any = None
+    # Anderson(m=1) updates (Config.cbet_accel) — jit is lazy, so carrying
+    # them costs nothing unless the accelerated path runs
+    accel_first: Any = None
+    accel_next: Any = None
 
 
 _SOLVER_CACHE: dict = {}
@@ -1159,7 +1163,7 @@ def _get_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         mesh.axis_names, mesh.devices.shape,
         tuple(d.id for d in mesh.devices.flat))
     key = (cfg.replace(cbet_max_iters=1, cbet_tol=0.0, cbet_relax=0.5,
-                       cbet_seed_zero_gain=True),
+                       cbet_seed_zero_gain=True, cbet_accel="none"),
            backend, cache_dir, mesh_key)
     # LRU on the insertion-ordered dict: pop-and-reinsert on hit refreshes
     # recency, and a same-key rebuild (new ctx) never evicts a different
@@ -1472,6 +1476,40 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
         blended = relax * i_new + (1.0 - relax) * i_old
         return delta, scale, blended
 
+    # Anderson(m=1) mixing (Config.cbet_accel="anderson") — same one-fused-
+    # dispatch rule as _step_update.  _accel_first IS the plain relaxed
+    # step (bit-identical update), returned with the residual f_k to seed
+    # the secant history; _accel_next subtracts the least-squares secant
+    # correction gamma*(dx + relax*df).  The dot products run on the
+    # SCALE-NORMALIZED residuals (gamma is invariant under the common
+    # scaling, and raw intensity residuals squared overflow f32 at
+    # config-4 magnitudes); gamma is safeguarded: 0 on a degenerate
+    # secant, clipped to [-2, 2] (an uncorrected step is always the
+    # fallback — the plain damped iteration is known-convergent).
+    @jax.jit
+    def _accel_first(i_new, i_old, relax):
+        f = i_new - i_old
+        delta = jnp.max(jnp.abs(f))
+        scale = jnp.max(jnp.abs(i_old))
+        return delta, scale, i_old + relax * f, f
+
+    @jax.jit
+    def _accel_next(i_new, i_old, prev_x, prev_f, relax):
+        f = i_new - i_old
+        delta = jnp.max(jnp.abs(f))
+        scale = jnp.max(jnp.abs(i_old))
+        s = jnp.maximum(scale, jnp.finfo(f.dtype).tiny)
+        fs = (f / s).ravel()
+        dfs = ((f - prev_f) / s).ravel()
+        den = jnp.vdot(dfs, dfs)
+        gamma = jnp.where(den > 0,
+                          jnp.vdot(fs, dfs) / jnp.maximum(den, jnp.finfo(
+                              f.dtype).tiny), 0.0)
+        gamma = jnp.clip(gamma, -2.0, 2.0).astype(f.dtype)
+        x_next = (i_old + relax * f) - gamma * ((i_old - prev_x)
+                                                + relax * (f - prev_f))
+        return delta, scale, x_next, f
+
     if n_dev == 1:
         imode = ("grouped" if _grouped_intensity_ok(cfg, rb)
                  else "scatter")
@@ -1484,7 +1522,8 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
                        segmented=segments is not None,
                        crop_intensity=(cfg.nbeams if gain_sharded
                                        and nb_pad != cfg.nbeams else None),
-                       gain_sharded=gain_sharded)
+                       gain_sharded=gain_sharded,
+                       accel_first=_accel_first, accel_next=_accel_next)
 
 
 def cbet_solve(cfg: Config, ctx: rt.TraceContext, mesh=None,
@@ -1578,6 +1617,13 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     # NOTE: scalar-rho vector extrapolation was tried here and measured
     # *slower* than plain under-relaxation (16 vs 9 iterations on the
     # two-beam problem) — the damped iteration is already near-optimal.
+    # The FIELD-LEVEL least-squares form (Anderson m=1,
+    # Config.cbet_accel="anderson") was then built and MEASURED: same 5
+    # iterations at the production tol 5e-3 (artifacts/
+    # cbet_accel_r05.json); it wins only at tight tolerances (4 vs 5 at
+    # 1e-5 on the two-beam problem), so it stays opt-in.
+    accel = cfg.cbet_accel == "anderson"
+    prev_x = prev_f = None
     for it in range(1, cfg.cbet_max_iters + 1):
         _t0 = _time.perf_counter()
         gain = solver.upsample(solver.gain_fn(intensity.astype(jnp.float32))
@@ -1592,8 +1638,15 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
         gain_last = gain
         edep, i_new, state = tr_it(ctx.field4, gain, bid, state0)
         _t2 = _time.perf_counter()
-        d_dev, s_dev, blended = solver.step_update(
-            i_new, intensity, float(cfg.cbet_relax))
+        if not accel:
+            d_dev, s_dev, blended = solver.step_update(
+                i_new, intensity, float(cfg.cbet_relax))
+        elif prev_f is None:
+            d_dev, s_dev, blended, f_cur = solver.accel_first(
+                i_new, intensity, float(cfg.cbet_relax))
+        else:
+            d_dev, s_dev, blended, f_cur = solver.accel_next(
+                i_new, intensity, prev_x, prev_f, float(cfg.cbet_relax))
         delta = float(d_dev) / max(float(s_dev), 1e-300)
         _t3 = _time.perf_counter()
         history.append(delta)
@@ -1606,6 +1659,10 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
             intensity = i_new
             converged = True
             break
+        if accel:
+            # the secant history: x_k (the pre-update iterate) and its
+            # residual — python references, no device copies
+            prev_x, prev_f = intensity, f_cur
         intensity = blended
 
     if solver.trace_light is not None:
@@ -1641,6 +1698,7 @@ def _cbet_solve_once(cfg: Config, ctx: rt.TraceContext, mesh=None,
     stats["gain_mode"] = cfg.cbet_gain_mode
     stats["gain_rows2"] = cfg.cbet_gain_rows2
     stats["relax"] = cfg.cbet_relax
+    stats["accel"] = cfg.cbet_accel
     stats["plan_headroom"] = cfg.cbet_plan_headroom
     # per-iteration wall clocks: each is fenced by the host materialization
     # of the convergence scalar, so iteration 1 also absorbs iteration 0's

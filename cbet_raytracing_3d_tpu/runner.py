@@ -89,6 +89,12 @@ def estimate_hbm_bytes(cfg: Config, with_cbet: bool = False) -> int:
             # the memoized zero-gain intensity (one per cached solver)
             hx, hy, hz = cfg.cbet_grid_shape
             cbet += cfg.nbeams * hx * hy * hz * 4
+        if cfg.cbet_accel != "none":
+            # Anderson(m=1) secant history: prev_x + prev_f + the live
+            # residual, each an intensity-field-sized buffer (cbet.py
+            # _accel_next)
+            hx, hy, hz = cfg.cbet_grid_shape
+            cbet += 3 * cfg.nbeams * hx * hy * hz * 4
     return state + field4 + grids + streams + cbet
 
 

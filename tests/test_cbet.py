@@ -129,6 +129,51 @@ def test_cbet_relax_invariant_fixed_point(two_beam_cfg, two_beam_ctx):
     assert rel < 1e-4, rel
 
 
+def test_cbet_accel_anderson_fixed_point(two_beam_cfg, two_beam_ctx):
+    """Anderson(m=1) mixing (Config.cbet_accel="anderson") converges to the
+    SAME fixed point as the plain damped iteration in <= iterations,
+    through ONE cached solver (the key normalizes cbet_accel).  Its first
+    update is the plain relaxed step (so history[0] is bit-equal and
+    history[1] equal up to f32 reassociation of the same blend)."""
+    from cbet_raytracing_3d_tpu.models import cbet as cbet_mod
+
+    cbet_mod._SOLVER_CACHE.clear()
+    tight = two_beam_cfg.replace(cbet_tol=1e-5, cbet_max_iters=40)
+    res_p = cbet_solve(tight, two_beam_ctx, backend="scatter")
+    res_a = cbet_solve(tight.replace(cbet_accel="anderson"), two_beam_ctx,
+                       backend="scatter")
+    assert len(cbet_mod._SOLVER_CACHE) == 1, "accel must share one solver"
+    assert res_p.converged and res_a.converged
+    assert res_a.iterations <= res_p.iterations
+    assert res_a.history[0] == res_p.history[0]
+    np.testing.assert_allclose(res_a.history[1], res_p.history[1],
+                               rtol=1e-4)
+    rel = (np.linalg.norm(res_a.edep - res_p.edep)
+           / np.linalg.norm(res_p.edep))
+    # both are within cbet_tol of the same fixed point
+    assert rel < 1e-4, rel
+
+
+def test_cbet_accel_anderson_mesh_matches_single_device(two_beam_cfg,
+                                                        profiles):
+    """The accelerated update's global dot products must reduce correctly
+    over a beam-sharded mesh: the 2-device anderson fixed point matches
+    the single-device anderson one."""
+    import jax
+    from cbet_raytracing_3d_tpu.parallel.sharding import make_mesh
+
+    cfg = two_beam_cfg.replace(cbet_accel="anderson", dtype="float32",
+                               tiles_per_block=1)
+    ctx = rt.prepare(cfg, profiles)
+    res1 = cbet_solve(cfg, ctx, backend="pallas_interpret")
+    mesh = make_mesh(jax.devices()[:2])
+    res2 = cbet_solve(cfg, ctx, mesh=mesh, backend="pallas_interpret")
+    assert res1.converged and res2.converged
+    assert res2.iterations == res1.iterations
+    rel_e = np.linalg.norm(res2.edep - res1.edep) / np.linalg.norm(res1.edep)
+    assert rel_e < 2e-3, rel_e
+
+
 def test_cbet_actually_transfers_energy(two_beam_cfg, two_beam_ctx):
     """With coupling on, the deposition differs from the uncoupled trace."""
     res = cbet_solve(two_beam_cfg, two_beam_ctx, backend="scatter")

@@ -143,6 +143,12 @@ def main(argv=None) -> int:
         if args.cbet_only and not args.cbet:
             print("--cbet-only requires --cbet", file=sys.stderr)
             return 2
+        if args.cbet_checkpoint and not args.cbet:
+            # without the guard the flag (and --resume with it) would be
+            # silently dropped — at config-4 scale that is hours of
+            # unintended from-scratch re-trace
+            print("--cbet-checkpoint requires --cbet", file=sys.stderr)
+            return 2
         composed = (args.composed or args.checkpoint or args.resume
                     or args.cbet_checkpoint or args.cbet_only)
         if composed:

@@ -1150,6 +1150,20 @@ class _CbetSolver:
     accel_next: Any = None
 
 
+# One fused dispatch per iteration for the convergence scalars + the
+# under-relaxed update (each bare jnp op costs a ~40-50 ms tunnel dispatch
+# round-trip).  relax rides as an argument so one cached program serves
+# every cbet_relax setting (the solver key normalizes it).  Module-level:
+# shared by the monolithic solver and models.cbet_composed — the update
+# arithmetic must stay one copy or the two paths drift.
+@jax.jit
+def _step_update(i_new, i_old, relax):
+    delta = jnp.max(jnp.abs(i_new - i_old))
+    scale = jnp.max(jnp.abs(i_old))
+    blended = relax * i_new + (1.0 - relax) * i_old
+    return delta, scale, blended
+
+
 _SOLVER_CACHE: dict = {}
 _SOLVER_CACHE_MAX = 3
 
@@ -1464,17 +1478,6 @@ def _build_solver(cfg: Config, ctx: rt.TraceContext, mesh,
 
     upsample = (make_gain_upsampler(cfg) if cfg.cbet_grid_downsample > 1
                 else (lambda g: g))
-
-    # one fused dispatch per iteration for the convergence scalars + the
-    # under-relaxed update (each bare jnp op costs a ~40-50 ms tunnel
-    # dispatch round-trip).  relax rides as an argument so one cached
-    # solver serves every cbet_relax setting (the key normalizes it)
-    @jax.jit
-    def _step_update(i_new, i_old, relax):
-        delta = jnp.max(jnp.abs(i_new - i_old))
-        scale = jnp.max(jnp.abs(i_old))
-        blended = relax * i_new + (1.0 - relax) * i_old
-        return delta, scale, blended
 
     # Anderson(m=1) mixing (Config.cbet_accel="anderson") — same one-fused-
     # dispatch rule as _step_update.  _accel_first IS the plain relaxed

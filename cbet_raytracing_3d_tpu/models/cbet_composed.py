@@ -49,7 +49,8 @@ from .. import constants as k
 from ..config import Config
 from . import raytracer as rt
 from .cbet import (GAIN_CLIP, CbetResult, _grouped_intensity_ok,
-                   live_tile_slots, make_gain_fn, make_gain_upsampler)
+                   _step_update, live_tile_slots, make_gain_fn,
+                   make_gain_upsampler)
 
 
 def make_cbet_chunk_fn(cfg: Config, rays_per_tile: int, backend: str,
@@ -199,16 +200,18 @@ def make_cbet_chunk_fn(cfg: Config, rays_per_tile: int, backend: str,
 
 
 def _fingerprint(cfg: Config, segments, groups: int, backend: str) -> str:
-    """Everything that shapes the iteration map and state layouts."""
-    import hashlib
+    """Everything that shapes the iteration map and state layouts.
+
+    ``cbet_max_iters`` and ``cbet_tol`` are normalized OUT: they only bound
+    and stop the OUTER loop, never the per-iteration arithmetic — and this
+    module's own non-convergence error instructs the user to raise
+    cbet_max_iters and resume, which must not invalidate the checkpoint
+    (a config-4-scale checkpoint costs hours to rebuild)."""
+    from . import tileplan as tp
     from ..utils.checkpoint import config_fingerprint
-    h = hashlib.sha256()
-    for seg in segments:
-        h.update(np.asarray(seg.chunk_lengths, np.int64).tobytes())
-        h.update(np.asarray(seg.tiles, np.int64).tobytes())
-        h.update(np.asarray(seg.valid, np.bool_).tobytes())
-    return (f"cbet-{config_fingerprint(cfg)}-g{groups}-{backend}-"
-            f"{h.hexdigest()[:16]}")
+    cfg_n = cfg.replace(cbet_max_iters=1, cbet_tol=0.0)
+    return (f"cbet-{config_fingerprint(cfg_n)}-g{groups}-{backend}-"
+            f"{tp.segments_fingerprint(segments)}")
 
 
 def default_beam_groups(cfg: Config, backend: str) -> int:
@@ -248,13 +251,34 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
 
     ``stop_after_iterations`` (tests/drills): checkpoint and return
     ``None`` after that many iterations have executed in THIS invocation —
-    the deterministic interruption the resume tests drive."""
+    the deterministic interruption the resume tests drive.
+
+    Solver-knob scope: this path implements the LOOKUP gain model and the
+    plain relaxed update only; configs requesting other modes are rejected
+    loudly below rather than silently substituted.  ``cbet_seed_zero_gain``
+    does not apply here — there is no already-paid plain trace to reuse, so
+    iteration 0 (the zero-gain trace) always executes explicitly, which is
+    the same trajectory the seeded monolithic solve takes."""
     from . import tileplan as tp
     from ..ops.pallas_deposit import finalize_edep
     from ..parallel.sharding import pad_rays, put_state
     from ..utils.checkpoint import (load_cbet_checkpoint,
                                     save_cbet_checkpoint)
 
+    if cfg.cbet_gain_mode != "lookup":
+        raise ValueError(
+            f"cbet_solve_composed applies gain in the lookup model only; "
+            f"cbet_gain_mode={cfg.cbet_gain_mode!r} would be silently "
+            "substituted — set cbet_gain_mode='lookup' or use cbet_solve")
+    if cfg.cbet_accel != "none":
+        raise ValueError(
+            f"cbet_solve_composed runs the plain relaxed iteration only; "
+            f"cbet_accel={cfg.cbet_accel!r} is not supported here — use "
+            "cbet_solve for accelerated mixing")
+    if cfg.cbet_light_iterations:
+        raise ValueError(
+            "cbet_light_iterations is not supported by the composed path "
+            "(every chunk's deposit feeds the pairwise edep master)")
     if backend is None:
         backend = rt.resolve_deposit_backend(cfg)
         if backend not in rt.PALLAS_BACKENDS:
@@ -335,25 +359,24 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
     upsample = make_gain_upsampler(cfg) if s > 1 else (lambda g: g)
 
     @jax.jit
-    def _step_update(i_new, i_old, relax):
-        delta = jnp.max(jnp.abs(i_new - i_old))
-        scale = jnp.max(jnp.abs(i_old))
-        return delta, scale, relax * i_new + (1.0 - relax) * i_old
-
-    @jax.jit
     def crop_intensity(ib):          # grouped zpad grids -> (nb_gl, Ph)
         ibf = finalize_edep(ib, hy, hz)
         return ibf[:, 1:-1, 1:-1, 1:hz + 1].reshape(nb_gl, Ph)
 
-    # host copies for the final accounting (the chunk fns donate state)
-    uray_init_h = np.asarray(jax.device_get(state0.uray_init), np.float64)
-    alive0_h = np.asarray(jax.device_get(state0.alive))
     from ..ops.pallas_deposit import edep_zpad_shape
     izshape = (nb_gl,) + edep_zpad_shape(hx, hy, hz)
+    # one cached copy program (a fresh jax.jit(lambda ...) per call would
+    # recompile every group x iteration); state0 is never donated, but each
+    # group's uray/alive ride through donating chunk fns, so the write-back
+    # targets must be copies
+    copy_arr = jax.jit(lambda a: a.copy())
 
     def run_iteration(gain_h):
         """One full gain-coupled trace over all groups: returns
-        (intensity (B, Ph) device, edep_levels dict, accounting)."""
+        (intensity (B, Ph) device, edep_levels dict, accounting).  The
+        accounting is per-group DEVICE arrays — fetched only once, after
+        the fixed point settles (at config-4 scale a per-iteration fetch
+        of the full uray would cost ~10 s of tunnel D2H per iteration)."""
         levels: dict[int, Any] = {}
 
         def acc_push(delta):
@@ -366,8 +389,8 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
         inten_rows = []
         oflow_total = 0
         dropped_total = 0
-        uray_out = np.empty_like(uray_init_h)
-        alive_out = np.empty_like(alive0_h)
+        uray_parts: list = []
+        alive_parts: list = []
         for g in range(G):
             gain_rows = upsample(
                 jax.lax.dynamic_slice_in_dim(gain_h, g * nb_gl, nb_gl)
@@ -375,9 +398,8 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
             state = slice_group(state0, jnp.int32(g))
             imaster = jnp.zeros(izshape, jnp.float32)
             oflow = jnp.int32(0)
-            n0_local = nb_gl * seg_tpgs[0] * rpt
-            uray_full, alive_full = (jax.jit(lambda a: a.copy())(state.uray),
-                                     jax.jit(lambda a: a.copy())(state.alive))
+            uray_full = copy_arr(state.uray)
+            alive_full = copy_arr(state.alive)
             for si, seg in enumerate(segments):
                 if si > 0:
                     uray_full, alive_full = wb(
@@ -402,9 +424,8 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
                                        jnp.asarray(origins[-1][g]))
             oflow_total += int(jax.device_get(oflow))
             inten_rows.append(crop_intensity(imaster))
-            sl = slice(g * n0_local, (g + 1) * n0_local)
-            uray_out[sl] = np.asarray(jax.device_get(uray_full), np.float64)
-            alive_out[sl] = np.asarray(jax.device_get(alive_full))
+            uray_parts.append(uray_full)
+            alive_parts.append(alive_full)
         if dropped_total:
             raise RuntimeError(
                 f"composed CBET trace dropped {dropped_total} still-alive "
@@ -412,7 +433,7 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
                 f"{cache_dir!r}")
         rt.check_overflow(oflow_total, cfg)
         intensity = jnp.concatenate(inten_rows, axis=0)      # (B, Ph) f32
-        return intensity, levels, (uray_out, alive_out)
+        return intensity, levels, (uray_parts, alive_parts)
 
     def fold_edep(levels):
         master = None
@@ -466,6 +487,7 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
         it += 1
         t0 = time.perf_counter()
         gain_h = gain_fn(intensity.astype(jnp.float32))
+        acct = None          # release the prior iteration's device parts
         i_new, levels, acct = run_iteration(gain_h)
         d_dev, s_dev, blended = _step_update(i_new, intensity,
                                              float(cfg.cbet_relax))
@@ -513,7 +535,15 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
         "chunks_per_iteration": int(n_chunks * G),
     }
     if acct is not None:
-        uray_out, alive_out = acct
+        # the single accounting fetch of the run (see run_iteration)
+        uray_parts, alive_parts = acct
+        uray_out = np.concatenate([
+            np.asarray(jax.device_get(u), np.float64) for u in uray_parts])
+        alive_out = np.concatenate([
+            np.asarray(jax.device_get(a)) for a in alive_parts])
+        uray_init_h = np.asarray(jax.device_get(state0.uray_init),
+                                 np.float64)
+        alive0_h = np.asarray(jax.device_get(state0.alive))
         launched = int(alive0_h.sum())
         stats.update({
             "rays_launched": launched,

@@ -148,6 +148,23 @@ def measure_plan(cfg: Config, ctx, state0, hosted: bool = False) -> TilePlan:
     return TilePlan(chunk_steps=chunk, chunk_live=lives)
 
 
+def segments_fingerprint(segments) -> str:
+    """Content hash of everything in a segment schedule that shapes chunk
+    step counts and slot layouts (per-segment chunk_lengths, tiles, valid).
+    Resuming a checkpoint across ANY change here would misalign slots
+    silently, and segment COUNT alone cannot detect a re-measured plan with
+    the same count but different boundaries (ADVICE r04).  The ONE copy of
+    this hash — runner.run_composed and models.cbet_composed both build
+    their resume fingerprints from it."""
+    import hashlib
+    h = hashlib.sha256()
+    for seg in segments:
+        h.update(np.asarray(seg.chunk_lengths, np.int64).tobytes())
+        h.update(np.asarray(seg.tiles, np.int64).tobytes())
+        h.update(np.asarray(seg.valid, np.bool_).tobytes())
+    return h.hexdigest()[:16]
+
+
 def build_segments(plan: TilePlan, cfg: Config, nt: int,
                    shrink: float = 0.9, min_tiles: int = 0) -> list[Segment]:
     """Greedy segmentation: start a new segment whenever the live-tile count

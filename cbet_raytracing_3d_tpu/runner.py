@@ -383,18 +383,11 @@ def run_composed(cfg: Config, *, min_tiles: int = 0,
         n0 = len(segments[0].tiles) * rpt
         # the run fingerprint covers everything that shapes the chunk
         # schedule and state layouts — resuming across any of these would
-        # misalign slots silently.  Segment count alone is NOT enough
-        # (ADVICE r04): a re-measured tile plan can produce the same count
-        # with different chunk boundaries/tile sets, so the per-segment
-        # chunk_lengths and tile arrays are content-hashed in.
-        import hashlib as _hl
-        _h = _hl.sha256()
-        for _seg in segments:
-            _h.update(np.asarray(_seg.chunk_lengths, np.int64).tobytes())
-            _h.update(np.asarray(_seg.tiles, np.int64).tobytes())
-            _h.update(np.asarray(_seg.valid, np.bool_).tobytes())
+        # misalign slots silently (segment count alone is NOT enough; see
+        # tileplan.segments_fingerprint)
         fingerprint = (f"{config_fingerprint(cfg)}-mt{min_tiles}"
-                       f"-{backend}-s{len(segments)}-{_h.hexdigest()[:16]}")
+                       f"-{backend}-s{len(segments)}"
+                       f"-{tp.segments_fingerprint(segments)}")
         # host copies for the final accounting: chunk_fn donates its state
         # argument, so s0's buffers die with the first chunk call
         uray_init_h = np.asarray(jax.device_get(s0.uray_init))

@@ -139,6 +139,51 @@ def test_composed_resume_bit_identical(comp_cfg, comp_ctx, tmp_path):
     assert res2.converged
 
 
+def test_composed_resume_after_raising_max_iters(comp_cfg, comp_ctx,
+                                                 tmp_path):
+    """The recovery path the module's own non-convergence error instructs:
+    a solve that hits cbet_max_iters without converging must be resumable
+    with a RAISED cbet_max_iters (the fingerprint normalizes the outer-loop
+    bounds), and the continuation must be bit-identical to an uninterrupted
+    full solve (r05 review finding)."""
+    full = cbet_solve_composed(comp_cfg, comp_ctx,
+                               backend="pallas_interpret", beam_groups=2,
+                               cache_dir=str(tmp_path), verbose=False)
+    assert full.converged and full.iterations > 1
+    ckpt = str(tmp_path / "cbet_ck3.npz")
+    short = cbet_solve_composed(comp_cfg.replace(cbet_max_iters=1),
+                                comp_ctx, backend="pallas_interpret",
+                                beam_groups=2, cache_dir=str(tmp_path),
+                                verbose=False, checkpoint_path=ckpt)
+    assert not short.converged and short.iterations == 1
+    res = cbet_solve_composed(comp_cfg, comp_ctx,   # max_iters back to 8
+                              backend="pallas_interpret", beam_groups=2,
+                              cache_dir=str(tmp_path), verbose=False,
+                              checkpoint_path=ckpt, resume=True)
+    assert res.converged
+    assert res.iterations == full.iterations
+    assert res.history == full.history
+    np.testing.assert_array_equal(res.intensity, full.intensity)
+    np.testing.assert_array_equal(res.edep, full.edep)
+
+
+def test_composed_rejects_unsupported_modes(comp_cfg, comp_ctx):
+    """Configs requesting solver paths the composed solve does not
+    implement must be rejected loudly, not silently substituted."""
+    with pytest.raises(ValueError, match="lookup"):
+        cbet_solve_composed(comp_cfg.replace(cbet_gain_mode="kernel_cell"),
+                            comp_ctx, backend="pallas_interpret",
+                            verbose=False)
+    with pytest.raises(ValueError, match="relaxed iteration"):
+        cbet_solve_composed(comp_cfg.replace(cbet_accel="anderson"),
+                            comp_ctx, backend="pallas_interpret",
+                            verbose=False)
+    with pytest.raises(ValueError, match="light_iterations"):
+        cbet_solve_composed(
+            comp_cfg.replace(cbet_light_iterations=True), comp_ctx,
+            backend="pallas_interpret", verbose=False)
+
+
 def test_composed_checkpoint_rejects_different_run(comp_cfg, comp_ctx,
                                                    tmp_path):
     """A CBET checkpoint must not resume a structurally different solve."""

@@ -87,6 +87,13 @@ def test_cli_run_composed(tmp_path):
                          capture_output=True, text=True, timeout=120,
                          env=env, cwd="/root/repo")
     assert bad.returncode == 2 and "--checkpoint" in bad.stderr
+    # --cbet-checkpoint without --cbet would otherwise be silently dropped
+    bad = subprocess.run(base + ["--cbet-checkpoint",
+                                 str(tmp_path / "cb2.npz")],
+                         capture_output=True, text=True, timeout=120,
+                         env=env, cwd="/root/repo")
+    assert (bad.returncode == 2
+            and "--cbet-checkpoint requires --cbet" in bad.stderr)
 
 
 @pytest.mark.slow

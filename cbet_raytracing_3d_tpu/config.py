@@ -273,6 +273,16 @@ class Config:
     deposit_box_y: int = 32     # 24 would fit every window but not the up-to-7
                                 # sublane-alignment loss (overflowed in round 1)
     deposit_box_z: int = 32
+    # exact extrapolated deposit weights on boundary exit steps: the
+    # reference's literal corner scheme (launch_ray_XZ.cu:319-348) leaves
+    # one NEGATIVE weight when a ray's final step crosses a grid face
+    # (deposit precedes the out-of-box break); the default hat build
+    # places those rows' weights on the wrong neighbor — conserved but
+    # misplaced, quantified at ~1.6e-5 rel-L2 on a boundary-heavy scene
+    # and ~7e-7 of total energy at OMEGA geometry
+    # (artifacts/boundary_deposit_r05.json), under the 1e-4 accuracy bar.
+    # True builds the exact two-one-hot weights (~2x M-build VPU passes).
+    deposit_boundary_exact: bool = False
     tiles_per_block: int = 16         # tiles per Pallas grid step (overhead amortization)
     # batch this many steps' deposits into one kernel call (contraction over
     # batch*rays_per_tile rows, one box RMW and one grid pass per batch);

@@ -573,7 +573,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                                  cfg.stop_fraction),
                     gain_only=edep_skip,
                     interpret=backend.endswith("_interpret"),
-                    precise=kernel_precise)
+                    precise=kernel_precise,
+                    exact_boundary=cfg.deposit_boundary_exact)
             elif pallas and edep_skip:
                 edeposit_s = None        # light lookup: no edep deposit
             elif pallas:
@@ -584,7 +585,8 @@ def make_cbet_trace_fn(cfg: Config, ctx: rt.TraceContext,
                 tiles_per_block=cfg.tiles_per_block, n_groups=nb_g,
                 tiles_per_group=tpg_s,
                 interpret=backend.endswith("_interpret"),
-                precise=kernel_precise)
+                precise=kernel_precise,
+                exact_boundary=cfg.deposit_boundary_exact)
         return ideposit_s, edeposit_s
 
     if segments is None:

@@ -61,10 +61,12 @@ def _make_deposit_fn(cfg: Config, rows_per_tile: int, backend: str):
     if backend.startswith("pallas_hbm"):
         return make_tile_deposit_hbm(
             cfg.nx, cfg.ny, cfg.nz, rows_per_tile, box=cfg.deposit_box,
-            tiles_per_block=cfg.tiles_per_block, interpret=interpret)
+            tiles_per_block=cfg.tiles_per_block, interpret=interpret,
+            exact_boundary=cfg.deposit_boundary_exact)
     return make_tile_deposit(
         cfg.nx, cfg.ny, cfg.nz, rows_per_tile, box=cfg.deposit_box,
-        tiles_per_block=cfg.tiles_per_block, interpret=interpret)
+        tiles_per_block=cfg.tiles_per_block, interpret=interpret,
+        exact_boundary=cfg.deposit_boundary_exact)
 
 
 @jax.tree_util.register_dataclass

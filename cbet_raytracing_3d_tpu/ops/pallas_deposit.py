@@ -52,7 +52,7 @@ ZLANES = 128
 
 def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
             tb, tiles_per_group, ablate="", gain_cfg=None,
-            precise=False):
+            precise=False, exact_boundary=False):
     # ungrouped: rest = (edep_out_ref, oflow_ref) — the kernel produces this
     # call's deposits on a zeroed grid and the caller adds them to the master
     # (saves a 5.3 MB VMEM input block -> frees room for tiles_per_block=16).
@@ -124,7 +124,8 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
                 [flts_ref[t, a, :] for a in range(min(nflt, 4))],
                 xyidx_ref, zframe0=0, zmax=ZLANES, bx=bx, byk=byk, bz=bz,
                 nxp=nxp, nyp=nyp, ablate=ablate, gain=gain, precise=precise,
-                deposit=edep_out_ref is not None)
+                deposit=edep_out_ref is not None,
+                exact_boundary=exact_boundary)
             box, x0, y0, bad = out[:4]
             oflow_ref[0, 0] += bad
             if edep_out_ref is not None:
@@ -141,7 +142,7 @@ def _kernel(ints_ref, flts_ref, xyidx_ref, *rest, bx, byk, bz, nxp, nyp,
 
 def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
                nxp, nyp, frame=ZLANES, ablate="", gain=None, precise=False,
-               deposit=True):
+               deposit=True, exact_boundary=False):
     """One tile's deposit box: per-axis hat weights contracted over rays on
     the MXU.  Takes the tile's loaded (R,) cell/frac/inc vectors (loaded, not
     ref slices — Mosaic memref slicing needs 128-aligned lane dims).
@@ -196,9 +197,9 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
         base = c + 1 - origin
         return base, base + s, d
 
-    xb, xn, _ = axis_weights(cx, fx, x0)
-    yb, yn, _ = axis_weights(cy, fy, y0)
-    zb, zn, _ = axis_weights(cz, fz, z0)
+    xb, xn, dx_w = axis_weights(cx, fx, x0)
+    yb, yn, dy_w = axis_weights(cy, fy, y0)
+    zb, zn, dz_w = axis_weights(cz, fz, z0)
 
     def inside(b, nb, width):
         return (b >= 0) & (b < width) & (nb >= 0) & (nb < width)
@@ -270,6 +271,25 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
         hy = hat(iota_y, qy)
         mb = (hx[:, :, None] * hy[:, None, :]).reshape(
             r, bx * byk).astype(cdt)
+    elif exact_boundary:
+        # EXACT 2-point weights for every d, including boundary exit
+        # steps where d < 0 and one weight is NEGATIVE — the reference's
+        # literal extrapolation into the ghost layer
+        # (launch_ray_XZ.cu:319-348; deposit precedes the out-of-box
+        # break).  The single hat at base + s*d misplaces those rows'
+        # weights (conserved but on the wrong neighbor —
+        # artifacts/boundary_deposit_r05.json quantifies the default
+        # mode's deviation at ~1.6e-5 rel-L2 on a boundary-heavy scene,
+        # well under the 1e-4 bar).  Here the two target nodes are
+        # INTEGER-peak hats (exact one-hots) blended with (1-d, d):
+        # exact for all d <= 1, at ~2x the M-build VPU passes.
+        dxc = dx_w[:, None].astype(jnp.float32)
+        dyc = dy_w[:, None].astype(jnp.float32)
+        wx = ((1.0 - dxc) * hat(xx_of, xb[:, None].astype(jnp.float32))
+              + dxc * hat(xx_of, xn[:, None].astype(jnp.float32)))
+        wy = ((1.0 - dyc) * hat(yy_of, yb[:, None].astype(jnp.float32))
+              + dyc * hat(yy_of, yn[:, None].astype(jnp.float32)))
+        mb = (wx * wy).astype(cdt)
     else:
         # (bf16 hat arithmetic measured SLOWER — the VPU has no 2x
         # bf16 rate and the casts add passes)
@@ -277,7 +297,12 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
     if need_mb:
         iota_z = jax.lax.broadcasted_iota(
             jnp.int32, (r, bz), 1).astype(jnp.float32)
-        hz = hat(iota_z, qz)
+        if exact_boundary:
+            dzc = dz_w[:, None].astype(jnp.float32)
+            hz = ((1.0 - dzc) * hat(iota_z, zb[:, None].astype(jnp.float32))
+                  + dzc * hat(iota_z, zn[:, None].astype(jnp.float32)))
+        else:
+            hz = hat(iota_z, qz)
 
     gam_cum = None
     gain_extra = None
@@ -446,7 +471,7 @@ def _tile_ebox(ints_t, flts_t, xyidx_ref, *, zframe0, zmax, bx, byk, bz,
 
 def _kernel_hbm(ints_ref, flts_ref, xyidx_ref, edep_hbm_ref, oflow_ref,
                 slab_ref, sem_in, sem_out, *, bx, byk, bz, nxp, nyp, zp,
-                tb):
+                tb, exact_boundary=False):
     """High-resolution variant: the deposition grid lives in HBM (it exceeds
     VMEM at 2x grid resolution) and each tile's (bx, byk, 256) window is
     DMA'd in, updated, and DMA'd back.  The z window is two 128-lane frames
@@ -480,7 +505,8 @@ def _kernel_hbm(ints_ref, flts_ref, xyidx_ref, edep_hbm_ref, oflow_ref,
                 [ints_ref[t, a, :] for a in range(3)],
                 [flts_ref[t, a, :] for a in range(4)],
                 xyidx_ref, zframe0=zw, zmax=zp, bx=bx, byk=byk, bz=bz,
-                nxp=nxp, nyp=nyp, frame=zwin)
+                nxp=nxp, nyp=nyp, frame=zwin,
+                exact_boundary=exact_boundary)
             y0 = pl.multiple_of(y0, 8)
             oflow_ref[0, 0] += bad
             window = edep_hbm_ref.at[pl.ds(x0, bx), pl.ds(y0, byk),
@@ -505,7 +531,8 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
                       interpret: bool = False, _ablate: str = "",
                       gain_window: tuple | None = None,
                       gain_only: bool = False,
-                      precise: bool = False):
+                      precise: bool = False,
+                      exact_boundary: bool = False):
     """Build the deposit function
     ``(edep, cx, cy, cz, fx, fy, fz, inc) -> (edep, overflow)``.
 
@@ -547,7 +574,7 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
         return _make_tile_deposit_gain(
             nxp=nxp, nzp=nzp, yp=yp, bx=bx, byk=byk, bz=bz, r=r, tb=tb,
             gain_window=gain_window, interpret=interpret, precise=precise,
-            gain_only=gain_only)
+            gain_only=gain_only, exact_boundary=exact_boundary)
     if gain_only:
         raise ValueError("gain_only requires gain_window")
 
@@ -576,7 +603,8 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
 
         kern = functools.partial(_kernel, bx=bx, byk=byk, bz=bz, nxp=nxp,
                                  nyp=yp, tb=tb, tiles_per_group=tpg,
-                                 ablate=_ablate, precise=precise)
+                                 ablate=_ablate, precise=precise,
+                                 exact_boundary=exact_boundary)
         if grouped:
             # single-buffer the group grids: default double buffering holds
             # 2x(in+out) ~21 MB of VMEM and OOMs; the block changes only every
@@ -658,7 +686,7 @@ def make_tile_deposit(nx: int, ny: int, nz: int, rays_per_tile: int,
 
 def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
                             gain_window, interpret, precise,
-                            gain_only=False):
+                            gain_only=False, exact_boundary=False):
     """The CBET window-gain deposit builder (see make_tile_deposit).
 
     The per-beam gain table rides as a grouped VMEM input block (one 128-
@@ -716,7 +744,7 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
             _kernel, bx=bx, byk=byk, bz=bz, nxp=nxp, nyp=yp,
             tb=tb, tiles_per_group=n_tiles,
             gain_cfg=(batch, float(clip), mode, float(stop_frac)),
-            precise=precise)
+            precise=precise, exact_boundary=exact_boundary)
 
         if gain_only:
             def kernel_fn(i_ref, f_ref, xy_ref, g_ref, of, gam, uo):
@@ -792,7 +820,8 @@ def _make_tile_deposit_gain(*, nxp, nzp, yp, bx, byk, bz, r, tb,
 def make_tile_deposit_hbm(nx: int, ny: int, nz: int, rays_per_tile: int,
                           box: tuple[int, int, int] | int = (32, 32, 32),
                           tiles_per_block: int = 16,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          exact_boundary: bool = False):
     """High-resolution deposit builder: same contract as
     :func:`make_tile_deposit` (ungrouped), but the grid may have any z size
     (the :func:`edep_zpad_shape` y/z-padded shape) and lives in HBM —
@@ -822,7 +851,8 @@ def make_tile_deposit_hbm(nx: int, ny: int, nz: int, rays_per_tile: int,
         assert edep.shape == (nxp, yp, zp), (edep.shape, (nxp, yp, zp))
 
         kern = functools.partial(_kernel_hbm_entry, bx=bx, byk=byk, bz=bz,
-                                 nxp=nxp, nyp=yp, zp=zp, tb=tb)
+                                 nxp=nxp, nyp=yp, zp=zp, tb=tb,
+                                 exact_boundary=exact_boundary)
         ints = jnp.stack([a.reshape(n_tiles, r) for a in (cx, cy, cz)],
                          axis=1)
         flts = jnp.stack([a.reshape(n_tiles, r) for a in (fx, fy, fz, inc)],

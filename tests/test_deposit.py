@@ -139,6 +139,98 @@ def test_pallas_all_dead_tile(rng):
     assert got.sum() == 0.0
 
 
+def _boundary_rays(rng, n):
+    """Rays near the LOW grid faces with boundary exit rows mixed in: a
+    ray's final step can leave frac beyond +-0.5 (the re-index clamps the
+    cell at a face while the position moves past it), so d = 1-|frac-0.5|
+    goes NEGATIVE and the reference extrapolates one negative weight into
+    the ghost layer (launch_ray_XZ.cu:319-348; deposit precedes the
+    out-of-box break at :351-356)."""
+    cell, frac, inc = _random_rays(rng, n, cell_lo=(0, 0, 0), cell_hi=(8, 8, 8))
+    exit_rows = rng.permutation(n)[:n // 3]
+    for a in range(3):
+        rows = exit_rows[a::3]
+        cell[a][rows] = 0
+        frac[a][rows] = rng.uniform(-0.95, -0.55, size=rows.size)
+    return cell, frac, inc
+
+
+def _run_pallas_exact(cell, frac, inc, rays_per_tile, exact_boundary):
+    dep = make_tile_deposit(*GRID, rays_per_tile=rays_per_tile, box=16,
+                            tiles_per_block=1, interpret=True, precise=True,
+                            exact_boundary=exact_boundary)
+    zshape = edep_zpad_shape(*GRID)
+    edep, oflow = dep(jnp.zeros(zshape, jnp.float32),
+                      *(jnp.asarray(c, jnp.int32) for c in cell),
+                      *(jnp.asarray(f, jnp.float32) for f in frac),
+                      jnp.asarray(inc, jnp.float32))
+    edep = finalize_edep(edep, GRID[1], GRID[2])
+    return np.asarray(edep, np.float64), int(oflow)
+
+
+def test_pallas_exact_boundary_matches_reference(rng):
+    """exact_boundary=True reproduces the reference's literal extrapolated
+    weights on boundary exit steps (one NEGATIVE ghost-layer weight per
+    out-of-range axis) to f32 precision."""
+    cell, frac, inc = _boundary_rays(rng, 64)
+    got, oflow = _run_pallas_exact(cell, frac, inc, 64, exact_boundary=True)
+    assert oflow == 0
+    want = _reference_deposit(cell, frac, inc)
+    assert want.min() < 0  # the scene really has extrapolated rows
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6 * want.max())
+
+
+def test_pallas_default_boundary_conserved_but_misplaced(rng):
+    """Pins the documented default-mode behavior (PARITY.md): on boundary
+    exit rows the single-hat build conserves each row's increment but
+    places it on the wrong neighbor — quantified at ~1.6e-5 rel-L2 on a
+    boundary-heavy production scene (artifacts/boundary_deposit_r05.json),
+    under the 1e-4 accuracy bar.  This synthetic set is boundary-dense on
+    purpose, so the deviation here is large and the test would catch the
+    default mode silently becoming exact (flip the docs if so)."""
+    cell, frac, inc = _boundary_rays(rng, 64)
+    got, oflow = _run_pallas_exact(cell, frac, inc, 64, exact_boundary=False)
+    assert oflow == 0
+    want = _reference_deposit(cell, frac, inc)
+    np.testing.assert_allclose(got.sum(), want.sum(), rtol=1e-6)  # conserved
+    rel_l2 = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel_l2 > 1e-3, rel_l2  # misplaced on this boundary-dense set
+
+
+def test_exact_boundary_config_plumbing():
+    """deposit_boundary_exact reaches the kernel through the trace-fn
+    builder: the full integrator with the exact kernel matches the scatter
+    backend (which implements the literal scheme) through a scene with
+    face exits."""
+    import jax
+
+    from cbet_raytracing_3d_tpu.models import raytracer as rt
+    from cbet_raytracing_3d_tpu.parallel.sharding import pad_rays
+
+    cfg = Config(nbeams=1, rays_per_zone=1, nx=24, ny=24, nz=24,
+                 dtype="float32", tiles_per_block=2, courant_mult=1.0,
+                 deposit_boundary_exact=True)
+    ctx = rt.prepare(cfg)
+    rpt = ctx.layout.rays_per_tile
+    s0 = pad_rays(rt.select_rays(ctx.state0, ctx.live_slots),
+                  rpt * cfg.tiles_per_block)
+    edep_p, _, oflow = jax.jit(
+        rt.make_trace_fn(cfg, rpt, backend="pallas_interpret"))(ctx.field4, s0)
+    assert int(oflow) == 0
+    edep_s, _, _ = jax.jit(
+        rt.make_trace_fn(cfg, rpt, backend="scatter"))(ctx.field4, s0)
+    ep = np.asarray(edep_p, np.float64)
+    es = np.asarray(edep_s, np.float64)
+    rel_l2 = np.linalg.norm(ep - es) / np.linalg.norm(es)
+    # bf16 kernel weights (~2^-9 per deposit) barely average at this tiny
+    # scene's few-deposits-per-node density — measured 1.17e-3
+    assert rel_l2 < 2.5e-3, rel_l2
+    # total conservation also rides on the bf16 weight casts here (exact
+    # mode's extrapolated weights exceed 1 on exit rows, so the absolute
+    # rounding is a shade larger) — measured 1.8e-4
+    np.testing.assert_allclose(ep.sum(), es.sum(), rtol=5e-4)
+
+
 def test_hbm_kernel_high_res_matches_scatter():
     """The HBM-grid kernel (nz+2 > 128 lanes, grid too large for VMEM —
     BASELINE config 4's regime) must match the scatter backend through the

@@ -45,6 +45,15 @@ def _parse_bool(s: str) -> bool:
         f"expected a boolean (true/false/1/0/yes/no/on/off), got {s!r}")
 
 
+def _parse_bool_or_none(s: str) -> bool | None:
+    """Tri-state for ``bool | None`` config fields (None = let the
+    resolver decide): 'none'/'auto' keep None, everything else parses
+    strictly as a bool."""
+    if s.lower() in ("none", "auto"):
+        return None
+    return _parse_bool(s)
+
+
 def _add_config_flags(p: argparse.ArgumentParser) -> None:
     import typing
 
@@ -54,7 +63,14 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
         hint = hints.get(f.name)
         choices = (typing.get_args(hint)
                    if typing.get_origin(hint) is typing.Literal else None)
-        if f.type == "bool" or isinstance(f.default, bool):
+        if hint == typing.Optional[bool]:
+            # without this branch a 'bool | None' field falls through to
+            # the plain-string parser, where '--cbet-gain-sharded false'
+            # becomes the TRUTHY string 'false' — silently inverting the
+            # user's intent
+            p.add_argument(name, type=_parse_bool_or_none,
+                           default=f.default, metavar="BOOL|none")
+        elif f.type == "bool" or isinstance(f.default, bool):
             p.add_argument(name, type=_parse_bool,
                            default=f.default, metavar="BOOL")
         elif isinstance(f.default, int):
@@ -176,10 +192,16 @@ def main(argv=None) -> int:
                 from .models import raytracer as _rt
                 from .models.cbet_composed import cbet_solve_composed
                 from .runner import RunResult
-                ctx = (_rt.prepare_device(cfg)
-                       if _jax.default_backend() != "cpu"
-                       else _rt.prepare(cfg,
-                                        cache_dir=args.cache_dir or None))
+                if res is not None and res.ctx is not None:
+                    # reuse the trace stage's prepared scene — a second
+                    # prepare is O(grid) host work + another init dispatch
+                    # for an identical cfg
+                    ctx = res.ctx
+                else:
+                    ctx = (_rt.prepare_device(cfg)
+                           if _jax.default_backend() != "cpu"
+                           else _rt.prepare(cfg,
+                                            cache_dir=args.cache_dir or None))
                 cres = cbet_solve_composed(
                     cfg, ctx, beam_groups=args.beam_groups,
                     cache_dir=args.cache_dir or None,

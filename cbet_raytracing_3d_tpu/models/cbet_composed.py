@@ -47,6 +47,7 @@ import numpy as np
 
 from .. import constants as k
 from ..config import Config
+from ..utils.accum import PairwiseAccumulator
 from . import raytracer as rt
 from .cbet import (GAIN_CLIP, CbetResult, _grouped_intensity_ok,
                    _step_update, live_tile_slots, make_gain_fn,
@@ -106,7 +107,8 @@ def make_cbet_chunk_fn(cfg: Config, rays_per_tile: int, backend: str,
     ideposit = make_tile_deposit(
         hx, hy, hz, rpt * batch, box=ibox,
         tiles_per_block=cfg.tiles_per_block, n_groups=nb_g,
-        tiles_per_group=tpg, interpret=interpret)
+        tiles_per_group=tpg, interpret=interpret,
+        exact_boundary=cfg.deposit_boundary_exact)
     shape3, _ = rt.trace_shapes(cfg, backend)
     ishape = (nb_g,) + edep_zpad_shape(hx, hy, hz)
 
@@ -279,6 +281,12 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
         raise ValueError(
             "cbet_light_iterations is not supported by the composed path "
             "(every chunk's deposit feeds the pairwise edep master)")
+    if cfg.cbet_gain_stride != 1:
+        raise ValueError(
+            f"cbet_solve_composed samples gain at every step (the exact "
+            f"lookup model); cbet_gain_stride={cfg.cbet_gain_stride} is the "
+            "monolithic solver's window-strided approximation — use "
+            "cbet_solve")
     if backend is None:
         backend = rt.resolve_deposit_backend(cfg)
         if backend not in rt.PALLAS_BACKENDS:
@@ -377,15 +385,7 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
         accounting is per-group DEVICE arrays — fetched only once, after
         the fixed point settles (at config-4 scale a per-iteration fetch
         of the full uray would cost ~10 s of tunnel D2H per iteration)."""
-        levels: dict[int, Any] = {}
-
-        def acc_push(delta):
-            lvl = 0
-            while lvl in levels:
-                delta = add(levels.pop(lvl), delta)
-                lvl += 1
-            levels[lvl] = delta
-
+        acc = PairwiseAccumulator(add)
         inten_rows = []
         oflow_total = 0
         dropped_total = 0
@@ -417,7 +417,7 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
                     state, edelta, imaster, oflow = chunk_fns[si](
                         ctx.field4, gain_rows, state, imaster, oflow,
                         jnp.int32(steps))
-                    acc_push(edelta)
+                    acc.push(edelta)
                     jax.device_get(oflow)          # chunked-dispatch fence
             uray_full, alive_full = wb(uray_full, alive_full, state.uray,
                                        state.alive,
@@ -433,13 +433,10 @@ def cbet_solve_composed(cfg: Config, ctx: rt.TraceContext, *,
                 f"{cache_dir!r}")
         rt.check_overflow(oflow_total, cfg)
         intensity = jnp.concatenate(inten_rows, axis=0)      # (B, Ph) f32
-        return intensity, levels, (uray_parts, alive_parts)
+        return intensity, acc.levels, (uray_parts, alive_parts)
 
     def fold_edep(levels):
-        master = None
-        for lvl in sorted(levels, reverse=True):   # canonical order
-            g = levels[lvl]
-            master = g if master is None else add(master, g)
+        master = PairwiseAccumulator(add, levels=levels).fold()
         return np.asarray(jax.device_get(efinalize(master)), np.float64)
 
     # ---- fixed point -----------------------------------------------------

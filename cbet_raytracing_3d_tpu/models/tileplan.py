@@ -113,10 +113,14 @@ def measure_plan(cfg: Config, ctx, state0, hosted: bool = False) -> TilePlan:
     def chunk_live(st, field4):
         def body(carry, _):
             st, live = carry
-            active = st.alive        # alive at chunk entry OR during it
-            st, (cell, frac, inc) = dstep(st, field4)
-            row = active | st.alive | (inc > 0)
-            live = live | row.reshape(T, rpt).any(axis=1)
+            # entry-alive is the whole criterion: post-step alive and a
+            # nonzero (masked) deposit increment are both strict subsets
+            # of it, so a tile is live for this chunk iff any ray enters
+            # any of its steps alive (ADVICE r04 — the old three-way OR
+            # suggested deposits could extend liveness; they cannot)
+            active = st.alive
+            st, _ = dstep(st, field4)
+            live = live | active.reshape(T, rpt).any(axis=1)
             return (st, live), None
 
         (st, live), _ = jax.lax.scan(

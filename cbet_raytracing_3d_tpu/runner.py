@@ -20,6 +20,7 @@ from .config import Config
 from .models import raytracer as rt
 from .models.cbet import cbet_solve
 from .parallel import sharding as sh
+from .utils.accum import PairwiseAccumulator
 from .utils.output import save_hdf5, save_npz, HAVE_H5PY
 from .utils.timers import PhaseTimers
 
@@ -31,6 +32,12 @@ class RunResult:
     stats: dict[str, Any]
     timings: dict[str, float]
     cbet: Any | None = None
+    # the prepared TraceContext (run_composed sets it) so a subsequent
+    # stage over the SAME scene — e.g. the CLI's composed CBET solve —
+    # can reuse it instead of paying a second build_fields + on-device
+    # init + tile-plan load (tens of seconds at config-4 scale through
+    # the ~40-50 ms/call tunnel); never serialized by write_outputs
+    ctx: Any | None = None
 
 
 def estimate_hbm_bytes(cfg: Config, with_cbet: bool = False) -> int:
@@ -402,27 +409,21 @@ def run_composed(cfg: Config, *, min_tiles: int = 0,
                                                n0))
 
         start_ci = 0
-        slots_acc: dict[int, Any] = {}
+        acc = PairwiseAccumulator(add)
         oflow = jnp.int32(0)
         state = s0
         uray_full, alive_full = _copy(s0.uray), _copy(s0.alive)
         if resume:
-            (start_ci, state, uray_full, alive_full, slots_acc,
+            (start_ci, state, uray_full, alive_full, levels,
              of0) = load_composed_checkpoint(checkpoint_path, fingerprint)
+            acc = PairwiseAccumulator(add, levels=levels)
             oflow = jnp.int32(of0)
             if verbose:
                 print(f"resumed at chunk {start_ci}", file=sys.stderr)
 
-    def acc_push(delta):
-        lvl = 0
-        while lvl in slots_acc:
-            delta = add(slots_acc.pop(lvl), delta)
-            lvl += 1
-        slots_acc[lvl] = delta
-
     def save(ci):
         save_composed_checkpoint(checkpoint_path, fingerprint, ci, state,
-                                 uray_full, alive_full, slots_acc,
+                                 uray_full, alive_full, acc.levels,
                                  int(jax.device_get(oflow)))
 
     executed = 0
@@ -462,7 +463,7 @@ def run_composed(cfg: Config, *, min_tiles: int = 0,
                     continue
                 state, delta, oflow = chunk_fn(ctx.field4, state, oflow,
                                                jnp.int32(steps))
-                acc_push(delta)
+                acc.push(delta)
                 jax.device_get(oflow)      # fence (chunked dispatch)
                 ci += 1
                 executed += 1
@@ -481,17 +482,7 @@ def run_composed(cfg: Config, *, min_tiles: int = 0,
         uray_full, alive_full = wb(uray_full, alive_full, state.uray,
                                    state.alive,
                                    origin_slots(segments[-1]))
-        # fold the pairwise accumulator in CANONICAL (descending-level)
-        # order: an uninterrupted run's dict carries levels in push-created
-        # insertion order while a resumed run's was rebuilt sorted-ascending
-        # by load_composed_checkpoint — with 3+ surviving levels the f32
-        # addition tree would differ and break the bit-identical-resume
-        # guarantee (ADVICE r04).  Descending = largest partial sums first,
-        # identical on both paths by construction.
-        master = None
-        for lvl in sorted(slots_acc, reverse=True):
-            g = slots_acc[lvl]
-            master = g if master is None else add(master, g)
+        master = acc.fold()
         of = int(jax.device_get(oflow))
 
     with timers.phase("Combining"):
@@ -518,7 +509,7 @@ def run_composed(cfg: Config, *, min_tiles: int = 0,
     if verbose:
         print(timers.report(), file=sys.stderr)
     return RunResult(cfg=cfg, edep=edep, stats=stats,
-                     timings=timers.as_dict())
+                     timings=timers.as_dict(), ctx=ctx)
 
 
 def write_outputs(res: RunResult, outdir: str, formats: tuple[str, ...] = ("npz",),

@@ -112,44 +112,47 @@ def load_composed_checkpoint(path: str, fingerprint: str):
     """Returns ``(chunk_index, state, uray_full, alive_full, acc_levels,
     oflow)``; validates the run fingerprint (config + segmentation +
     backend) so a checkpoint can't resume a structurally different run."""
-    data = np.load(path)
-    if int(data["composed_version"]) != COMPOSED_VERSION:
-        raise ValueError(
-            f"unsupported composed checkpoint version: "
-            f"{data['composed_version']}")
-    fp = str(data["fingerprint"])
-    if fp != fingerprint:
-        raise ValueError(
-            f"checkpoint fingerprint {fp} does not match this run's "
-            f"{fingerprint} (different config/segmentation/backend)")
-    acc = {int(lvl): jnp.asarray(data[f"acc_{lvl}"])
-           for lvl in data["acc_levels"]}
-    return (int(data["chunk_index"]), _state_from(data),
-            jnp.asarray(data["uray_full"]), jnp.asarray(data["alive_full"]),
-            acc, int(data["oflow"]))
+    with np.load(path) as data:
+        if int(data["composed_version"]) != COMPOSED_VERSION:
+            raise ValueError(
+                f"unsupported composed checkpoint version: "
+                f"{data['composed_version']}")
+        fp = str(data["fingerprint"])
+        if fp != fingerprint:
+            raise ValueError(
+                f"checkpoint fingerprint {fp} does not match this run's "
+                f"{fingerprint} (different config/segmentation/backend)")
+        acc = {int(lvl): jnp.asarray(data[f"acc_{lvl}"])
+               for lvl in data["acc_levels"]}
+        return (int(data["chunk_index"]), _state_from(data),
+                jnp.asarray(data["uray_full"]),
+                jnp.asarray(data["alive_full"]),
+                acc, int(data["oflow"]))
 
 
 def load_checkpoint(path: str, cfg: Config):
     """Returns (chunk_index, master, RayState, oflow); validates the config
     fingerprint so a checkpoint can't silently resume a different run."""
-    data = np.load(path)
-    if int(data["format_version"]) != FORMAT_VERSION:
-        raise ValueError(f"unsupported checkpoint version: {data['format_version']}")
-    fp = str(data["fingerprint"])
-    if fp != config_fingerprint(cfg):
-        raise ValueError(
-            f"checkpoint config fingerprint {fp} does not match the current "
-            f"config {config_fingerprint(cfg)}")
-    state = RayState(
-        frac=tuple(jnp.asarray(data["frac"][i]) for i in range(3)),
-        vel=tuple(jnp.asarray(data["vel"][i]) for i in range(3)),
-        kick=tuple(jnp.asarray(data["kick"][i]) for i in range(3)),
-        uray=jnp.asarray(data["uray"]),
-        uray_init=jnp.asarray(data["uray_init"]),
-        cell=tuple(jnp.asarray(data["cell"][i]) for i in range(3)),
-        alive=jnp.asarray(data["alive"]),
-    )
-    return int(data["chunk_index"]), jnp.asarray(data["master"]), state, int(data["oflow"])
+    with np.load(path) as data:
+        if int(data["format_version"]) != FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported checkpoint version: {data['format_version']}")
+        fp = str(data["fingerprint"])
+        if fp != config_fingerprint(cfg):
+            raise ValueError(
+                f"checkpoint config fingerprint {fp} does not match the "
+                f"current config {config_fingerprint(cfg)}")
+        state = RayState(
+            frac=tuple(jnp.asarray(data["frac"][i]) for i in range(3)),
+            vel=tuple(jnp.asarray(data["vel"][i]) for i in range(3)),
+            kick=tuple(jnp.asarray(data["kick"][i]) for i in range(3)),
+            uray=jnp.asarray(data["uray"]),
+            uray_init=jnp.asarray(data["uray_init"]),
+            cell=tuple(jnp.asarray(data["cell"][i]) for i in range(3)),
+            alive=jnp.asarray(data["alive"]),
+        )
+        return (int(data["chunk_index"]), jnp.asarray(data["master"]),
+                state, int(data["oflow"]))
 
 
 CBET_VERSION = 1
@@ -187,18 +190,20 @@ def save_cbet_checkpoint(path: str, fingerprint: str, iteration: int,
 def load_cbet_checkpoint(path: str, fingerprint: str):
     """Returns ``(iteration, intensity, history, edep_levels|None)``;
     validates the run fingerprint (config + plan + grouping + backend)."""
-    data = np.load(path)
-    if int(data["cbet_version"]) != CBET_VERSION:
-        raise ValueError(
-            f"unsupported CBET checkpoint version: {data['cbet_version']}")
-    fp = str(data["fingerprint"])
-    if fp != fingerprint:
-        raise ValueError(
-            f"CBET checkpoint fingerprint {fp} does not match this run's "
-            f"{fingerprint} (different config/plan/grouping/backend)")
-    levels = None
-    if "edep_levels" in data:
-        levels = {int(lvl): jnp.asarray(data[f"edep_{lvl}"])
-                  for lvl in data["edep_levels"]}
-    return (int(data["iteration"]), jnp.asarray(data["intensity"]),
-            [float(h) for h in data["history"]], levels)
+    with np.load(path) as data:
+        if int(data["cbet_version"]) != CBET_VERSION:
+            raise ValueError(
+                f"unsupported CBET checkpoint version: "
+                f"{data['cbet_version']}")
+        fp = str(data["fingerprint"])
+        if fp != fingerprint:
+            raise ValueError(
+                f"CBET checkpoint fingerprint {fp} does not match this "
+                f"run's {fingerprint} (different config/plan/grouping/"
+                "backend)")
+        levels = None
+        if "edep_levels" in data:
+            levels = {int(lvl): jnp.asarray(data[f"edep_{lvl}"])
+                      for lvl in data["edep_levels"]}
+        return (int(data["iteration"]), jnp.asarray(data["intensity"]),
+                [float(h) for h in data["history"]], levels)

@@ -182,6 +182,10 @@ def test_composed_rejects_unsupported_modes(comp_cfg, comp_ctx):
         cbet_solve_composed(
             comp_cfg.replace(cbet_light_iterations=True), comp_ctx,
             backend="pallas_interpret", verbose=False)
+    with pytest.raises(ValueError, match="gain_stride"):
+        cbet_solve_composed(
+            comp_cfg.replace(cbet_gain_stride=2, deposit_batch_steps=2),
+            comp_ctx, backend="pallas_interpret", verbose=False)
 
 
 def test_composed_checkpoint_rejects_different_run(comp_cfg, comp_ctx,

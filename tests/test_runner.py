@@ -30,6 +30,28 @@ def test_run_end_to_end(tmp_path):
     assert meta["stats"]["rays_launched"] == res.stats["rays_launched"]
 
 
+def test_cli_bool_or_none_flags():
+    """'bool | None' config fields (tri-state: None = resolver decides)
+    must parse strictly — before the dedicated branch, '--cbet-gain-sharded
+    false' fell through to the plain-string parser and became the TRUTHY
+    string 'false', silently inverting the user's intent."""
+    import argparse
+
+    from cbet_raytracing_3d_tpu import cli
+
+    p = argparse.ArgumentParser()
+    cli._add_config_flags(p)
+    args = p.parse_args(["--cbet-gain-sharded", "false",
+                         "--cbet-light-iterations", "none",
+                         "--cbet-gain-rows2", "true"])
+    cfg = cli.config_from_args(args)
+    assert cfg.cbet_gain_sharded is False
+    assert cfg.cbet_light_iterations is None
+    assert cfg.cbet_gain_rows2 is True
+    with pytest.raises(SystemExit):
+        p.parse_args(["--cbet-gain-sharded", "maybe"])
+
+
 @pytest.mark.slow
 def test_cli_run(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
